@@ -1,0 +1,124 @@
+"""Multi-head attention + pre-norm encoder stack.
+
+Faithful TPU-native reimplementation of the reference encoder
+(reference MFT/multiTransformer.py:22-116):
+
+  * scaled dot-product attention with mask semantics selectable via
+    `mask_mode`:
+      - "query"      (reference-exact): the [B,T,1] mask is broadcast as
+        [B,1,Tq,1] against scores [B,h,Tq,Tk], i.e. *padded query rows* get
+        -1e9 everywhere (uniform softmax) while padded *keys* are still
+        attended by valid queries (reference multiTransformer.py:48-50 with the
+        mask built at train.py:103-107).  Output depends on the amount of
+        padding — bit-parity with the reference requires feeding the same
+        padded shapes it used (bs=1 eval => no padding).
+      - "key_query"  (clean): additionally mask padded keys, making valid
+        outputs invariant to padding length — required for bucketed/batched
+        TPU eval where sequences are padded to a shared static shape.
+  * h=8 heads sharing d_model, 4 linear projections (q,k,v,out);
+  * pre-norm sublayers: x + dropout(sublayer(torch_layer_norm(x))), with a
+    final torch_layer_norm (Encoder at multiTransformer.py:67-76);
+  * N layers initialized *identically* (the reference `clones()` deep-copies
+    one initialized layer, multiTransformer.py:78-79).
+
+Everything here is plain jnp: at SEND scale (B<=32, T<=~350, D=256) XLA fuses
+the whole block efficiently; the Pallas fused-attention kernel in
+ops/pallas/encoder_block.py is used on TPU for larger shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.torch_init import linear_init, norm_init
+from .basic import linear, dropout
+from .norm import torch_layer_norm
+
+NEG_INF = -1e9
+
+
+def mha_init(key, d_model: int):
+    keys = jax.random.split(key, 4)
+    return {"linears": [linear_init(k, d_model, d_model) for k in keys]}
+
+
+def multi_head_attention(params, query, key, value, mask=None, *, h: int,
+                         rng=None, dropout_p: float = 0.1,
+                         mask_mode: str = "query"):
+    """MHA forward.  query/key/value: [B, T, D]; mask: [B, T, 1] or None.
+
+    Returns [B, T, D]."""
+    B, Tq, D = query.shape
+    d_k = D // h
+
+    def proj(p, x):
+        return linear(p, x).reshape(B, -1, h, d_k).transpose(0, 2, 1, 3)
+
+    q = proj(params["linears"][0], query)   # [B, h, Tq, d_k]
+    k = proj(params["linears"][1], key)     # [B, h, Tk, d_k]
+    v = proj(params["linears"][2], value)   # [B, h, Tk, d_k]
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+        jnp.asarray(d_k, dtype=query.dtype))
+    if mask is not None:
+        qmask = mask[:, None, :, 0:1]       # [B, 1, Tq, 1] — reference quirk
+        scores = jnp.where(qmask == 0, NEG_INF, scores)
+        if mask_mode == "key_query":
+            kmask = mask[..., 0][:, None, None, :]  # [B, 1, 1, Tk]
+            scores = jnp.where(kmask == 0, NEG_INF, scores)
+    p_attn = jax.nn.softmax(scores, axis=-1)
+    p_attn = dropout(p_attn, rng, dropout_p)
+    x = jnp.einsum("bhqk,bhkd->bhqd", p_attn, v)
+    x = x.transpose(0, 2, 1, 3).reshape(B, Tq, D)
+    return linear(params["linears"][3], x)
+
+
+def encoder_layer_init(key, d_model: int, d_ff: int):
+    k_attn, k_ff1, k_ff2 = jax.random.split(key, 3)
+    return {
+        "self_attn": mha_init(k_attn, d_model),
+        "feed_forward": {
+            "w_1": linear_init(k_ff1, d_model, d_ff),
+            "w_2": linear_init(k_ff2, d_ff, d_model),
+        },
+        "sublayer": [{"norm": norm_init(d_model)}, {"norm": norm_init(d_model)}],
+    }
+
+
+def encoder_init(key, d_model: int, d_ff: int, n_layers: int):
+    """N identical layers (reference clones() semantics) + final norm."""
+    layer = encoder_layer_init(key, d_model, d_ff)
+    return {
+        "layers": [jax.tree_util.tree_map(lambda x: x, layer)
+                   for _ in range(n_layers)],
+        "norm": norm_init(d_model),
+    }
+
+
+def _encoder_layer(params, x, mask, *, h, rng, dropout_p, mask_mode):
+    rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
+    # sublayer 0: self-attention
+    normed = torch_layer_norm(params["sublayer"][0]["norm"], x)
+    attn_out = multi_head_attention(
+        params["self_attn"], normed, normed, normed, mask,
+        h=h, rng=rngs[0], dropout_p=dropout_p, mask_mode=mask_mode)
+    x = x + dropout(attn_out, rngs[1], dropout_p)
+    # sublayer 1: feed-forward (Linear -> ReLU -> Dropout -> Linear)
+    normed = torch_layer_norm(params["sublayer"][1]["norm"], x)
+    ff = params["feed_forward"]
+    hmid = jax.nn.relu(linear(ff["w_1"], normed))
+    hmid = dropout(hmid, rngs[2], dropout_p)
+    ff_out = linear(ff["w_2"], hmid)
+    return x + dropout(ff_out, rngs[3], dropout_p)
+
+
+def encoder_stack(params, x, mask=None, *, h: int = 8, rng=None,
+                  dropout_p: float = 0.1, mask_mode: str = "query"):
+    """Full N-layer pre-norm encoder with final norm.  x: [B, T, D]."""
+    n = len(params["layers"])
+    rngs = jax.random.split(rng, n) if rng is not None else [None] * n
+    for layer_params, layer_rng in zip(params["layers"], rngs):
+        x = _encoder_layer(layer_params, x, mask, h=h, rng=layer_rng,
+                           dropout_p=dropout_p, mask_mode=mask_mode)
+    return torch_layer_norm(params["norm"], x)

@@ -1,0 +1,151 @@
+"""Memory Fusion Network recurrence as one lax.scan.
+
+TPU-native reimplementation of the reference MFN
+(reference MFT/multiTransformer.py:118-248).  The reference runs a Python loop
+over T timesteps, each doing per-modality LSTMCell steps plus four small gate
+MLPs (delta-memory attention att1/att2, retain/update gates gamma1/gamma2) and
+finally a second Python loop applying the output MLP per step.
+
+Here:
+  * per-modality LSTM *input* projections for every timestep are hoisted out of
+    the recurrence as large batched MXU matmuls;
+  * the sequential part is ONE `lax.scan` whose body fuses all per-step matmuls
+    (h-to-h LSTM projections + the four gate MLPs) — XLA keeps the small
+    weights resident in VMEM across steps;
+  * the output head (concat[h_mods, mem] -> Linear -> ReLU -> Dropout -> Linear)
+    runs batched over all timesteps after the scan.
+
+Gate algebra (exact, multiTransformer.py:200-224):
+    cStar   = [c_{t-1}; c_t]                       (concat over modalities)
+    a       = softmax(att1(cStar))                 (softmax over features!)
+    attended= a * cStar
+    cHat    = tanh(att2(attended))
+    both    = [attended; mem]
+    mem'    = sigmoid(g1(both)) * mem + sigmoid(g2(both)) * cHat
+
+Note the softmax is over the *feature* dimension (dim=1 of [B, 2*total_h]) —
+an unusual choice the reference makes; replicated exactly.
+
+Hyperparameters (multiTransformer.py:128-147): hidden dims per modality
+{linguistic: 88, emotient: 16, acoustic: 48, image: 88}, mem_dim=128,
+h_att1=128, h_att2=256, h_gamma1=h_gamma2=64, h_out=64, dropouts
+(att1, att2, g1, g2, out) = (0, 0, 0.2, 0.2, 0.5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.torch_init import linear_init, lstm_init
+from .basic import linear, dropout
+
+HIDDEN_DIM = {"linguistic": 88, "emotient": 16, "acoustic": 48, "image": 88}
+MEM_DIM = 128
+H_ATT1, H_ATT2, H_GAMMA1, H_GAMMA2, H_OUT = 128, 256, 64, 64, 64
+DROPOUTS = {"att1": 0.0, "att2": 0.0, "gamma1": 0.2, "gamma2": 0.2, "out": 0.5}
+
+
+def mfn_init(key, mods, dims, output_dim: int):
+    """dims: per-modality input dim (the per-mod embed dims upstream)."""
+    total_h = sum(HIDDEN_DIM[m] for m in mods)
+    att_in = total_h * 2
+    gamma_in = att_in + MEM_DIM
+    final_in = total_h + MEM_DIM
+    keys = jax.random.split(key, len(mods) + 10)
+    params = {}
+    for i, m in enumerate(mods):
+        params[f"lstm_{m}"] = lstm_init(keys[i], dims[m], HIDDEN_DIM[m])
+    k = len(mods)
+    params["att1_fc1"] = linear_init(keys[k + 0], att_in, H_ATT1)
+    params["att1_fc2"] = linear_init(keys[k + 1], H_ATT1, att_in)
+    params["att2_fc1"] = linear_init(keys[k + 2], att_in, H_ATT2)
+    params["att2_fc2"] = linear_init(keys[k + 3], H_ATT2, MEM_DIM)
+    params["gamma1_fc1"] = linear_init(keys[k + 4], gamma_in, H_GAMMA1)
+    params["gamma1_fc2"] = linear_init(keys[k + 5], H_GAMMA1, MEM_DIM)
+    params["gamma2_fc1"] = linear_init(keys[k + 6], gamma_in, H_GAMMA2)
+    params["gamma2_fc2"] = linear_init(keys[k + 7], H_GAMMA2, MEM_DIM)
+    params["out_fc1"] = linear_init(keys[k + 8], final_in, H_OUT)
+    params["out_fc2"] = linear_init(keys[k + 9], H_OUT, output_dim)
+    return params
+
+
+def _sig_mlp(p1, p2, x, rng, p_drop):
+    h = jax.nn.relu(linear(p1, x))
+    h = dropout(h, rng, p_drop)
+    return jax.nn.sigmoid(linear(p2, h))
+
+
+def mfn_scan(params, inputs, mods, *, rng=None):
+    """MFN forward.  inputs: dict mod -> [B, T, D_mod] (batch-major; the
+    reference permutes to time-major before its loop — the scan here is
+    time-major internally).  Returns [B, T, output_dim]."""
+    first = inputs[mods[0]]
+    B, T = first.shape[0], first.shape[1]
+    dtype = first.dtype
+
+    # Hoist all LSTM input projections out of the recurrence: [T, B, 4H_m].
+    x_projs = {}
+    for m in mods:
+        p = params[f"lstm_{m}"]
+        x_projs[m] = (jnp.einsum("btd,gd->btg", inputs[m], p["weight_ih"])
+                      + p["bias_ih"] + p["bias_hh"]).transpose(1, 0, 2)
+
+    h0 = {m: jnp.zeros((B, HIDDEN_DIM[m]), dtype) for m in mods}
+    c0 = {m: jnp.zeros((B, HIDDEN_DIM[m]), dtype) for m in mods}
+    mem0 = jnp.zeros((B, MEM_DIM), dtype)
+
+    if rng is not None:
+        step_rngs = jax.random.split(rng, T)
+    else:
+        step_rngs = jnp.zeros((T, 2), dtype=jnp.uint32)  # unused placeholder
+
+    def body(carry, xs):
+        h, c, mem = carry
+        xp, step_rng = xs
+        r1 = r2 = None
+        if rng is not None:
+            r1, r2 = jax.random.split(step_rng)
+        prev_cs = jnp.concatenate([c[m] for m in mods], axis=1)
+        new_h, new_c = {}, {}
+        for m in mods:
+            p = params[f"lstm_{m}"]
+            z = xp[m] + h[m] @ p["weight_hh"].T
+            hd = HIDDEN_DIM[m]
+            i = jax.nn.sigmoid(z[:, 0 * hd:1 * hd])
+            f = jax.nn.sigmoid(z[:, 1 * hd:2 * hd])
+            g = jnp.tanh(z[:, 2 * hd:3 * hd])
+            o = jax.nn.sigmoid(z[:, 3 * hd:4 * hd])
+            new_c[m] = f * c[m] + i * g
+            new_h[m] = o * jnp.tanh(new_c[m])
+        new_cs = jnp.concatenate([new_c[m] for m in mods], axis=1)
+        c_star = jnp.concatenate([prev_cs, new_cs], axis=1)  # [B, 2*total_h]
+        # delta-memory attention: softmax over the FEATURE dim (reference dim=1)
+        att_h = jax.nn.relu(linear(params["att1_fc1"], c_star))
+        att_logits = linear(params["att1_fc2"], att_h)
+        attention = jax.nn.softmax(att_logits, axis=1)
+        attended = attention * c_star
+        c_hat = jnp.tanh(linear(params["att2_fc2"],
+                                jax.nn.relu(linear(params["att2_fc1"], attended))))
+        both = jnp.concatenate([attended, mem], axis=1)
+        gamma1 = _sig_mlp(params["gamma1_fc1"], params["gamma1_fc2"], both,
+                          r1, DROPOUTS["gamma1"] if rng is not None else 0.0)
+        gamma2 = _sig_mlp(params["gamma2_fc1"], params["gamma2_fc2"], both,
+                          r2, DROPOUTS["gamma2"] if rng is not None else 0.0)
+        mem = gamma1 * mem + gamma2 * c_hat
+        hs_out = jnp.concatenate([new_h[m] for m in mods], axis=1)
+        return (new_h, new_c, mem), (hs_out, mem)
+
+    (_, _, _), (all_hs, all_mems) = jax.lax.scan(
+        body, (h0, c0, mem0),
+        ({m: x_projs[m] for m in mods}, step_rngs))
+
+    # Output head, batched over all timesteps: [T, B, total_h + mem].
+    feats = jnp.concatenate([all_hs, all_mems], axis=2)
+    out_rng = None
+    if rng is not None:
+        out_rng = jax.random.fold_in(rng, 7)
+    h = jax.nn.relu(linear(params["out_fc1"], feats))
+    h = dropout(h, out_rng, DROPOUTS["out"])
+    out = linear(params["out_fc2"], h)  # [T, B, output_dim]
+    return out.transpose(1, 0, 2)

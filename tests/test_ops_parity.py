@@ -1,0 +1,345 @@
+"""Numerics-core parity tests: every kernel vs a torch oracle.
+
+The reference is pure PyTorch, so the strongest correctness evidence for the
+JAX reimplementation is elementwise agreement with torch on random inputs with
+shared weights.  Each test builds the torch computation inline (from the
+formulas documented in SURVEY.md §2.2/§2.3), copies the SAME weights into both
+frameworks, and asserts allclose.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_transformer_tpu.ops import (
+    ccc, conv1d_window_embed, convolve_local_attn, highway, linear,
+    lstm_cell_step, lstm_scan, multi_head_attention, torch_layer_norm,
+    encoder_stack, mfn_scan,
+)
+from multimodal_transformer_tpu.ops.attention import (
+    encoder_init, mha_init,
+)
+from multimodal_transformer_tpu.ops.mfn_core import mfn_init, HIDDEN_DIM, MEM_DIM
+from multimodal_transformer_tpu.utils.torch_init import (
+    conv1d_init, linear_init, lstm_init, norm_init,
+)
+
+RTOL, ATOL = 1e-5, 1e-5
+
+
+def to_np(x):
+    return np.asarray(x)
+
+
+def t2j(t):
+    return jnp.asarray(t.detach().numpy())
+
+
+def make_torch_linear(params):
+    lin = torch.nn.Linear(params["weight"].shape[1], params["weight"].shape[0])
+    with torch.no_grad():
+        lin.weight.copy_(torch.from_numpy(to_np(params["weight"])))
+        lin.bias.copy_(torch.from_numpy(to_np(params["bias"])))
+    return lin
+
+
+def test_linear_matches_torch():
+    key = jax.random.PRNGKey(0)
+    p = linear_init(key, 7, 5)
+    x = np.random.RandomState(0).randn(3, 11, 7).astype(np.float32)
+    got = to_np(linear(p, jnp.asarray(x)))
+    want = make_torch_linear(p)(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+def test_layer_norm_unbiased_std_eps_on_std():
+    """The reference LayerNorm uses unbiased std with eps added to the std
+    (multiTransformer.py:88-91) — not the textbook variant."""
+    rs = np.random.RandomState(1)
+    x = rs.randn(4, 9, 16).astype(np.float32)
+    a = rs.randn(16).astype(np.float32)
+    b = rs.randn(16).astype(np.float32)
+    got = to_np(torch_layer_norm(
+        {"a_2": jnp.asarray(a), "b_2": jnp.asarray(b)}, jnp.asarray(x)))
+    xt = torch.from_numpy(x)
+    mean = xt.mean(-1, keepdim=True)
+    std = xt.std(-1, keepdim=True)  # torch default: unbiased
+    want = (torch.from_numpy(a) * (xt - mean) / (std + 1e-6)
+            + torch.from_numpy(b)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # and it must NOT match the biased/eps-on-var textbook layernorm
+    textbook = F.layer_norm(xt, (16,), torch.from_numpy(a), torch.from_numpy(b),
+                            1e-6).numpy()
+    assert np.abs(want - textbook).max() > 1e-4
+
+
+def test_window_cnn_matches_torch_conv_maxpool():
+    """Fused [B,W,F,D] window embed vs torch Conv1d(k=2)+MaxPool1d
+    (reference MFT/models.py:57-79 applied per video at models.py:121-131)."""
+    key = jax.random.PRNGKey(2)
+    D, E, F_, B, W = 12, 8, 6, 3, 5
+    p = conv1d_init(key, D, E, 2)
+    x = np.random.RandomState(2).randn(B, W, F_, D).astype(np.float32)
+    got = to_np(conv1d_window_embed(p, jnp.asarray(x)))
+
+    conv = torch.nn.Conv1d(D, E, 2)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(to_np(p["weight"])))
+        conv.bias.copy_(torch.from_numpy(to_np(p["bias"])))
+    want = np.zeros((B, W, E), np.float32)
+    for b in range(B):
+        # reference path: per video, [W, F, D] -> permute -> conv -> maxpool
+        xc = torch.from_numpy(x[b]).permute(0, 2, 1)  # [W, D, F]
+        c = conv(xc)  # [W, E, F-1]
+        want[b] = torch.squeeze(
+            torch.nn.MaxPool1d(c.size(2), stride=3)(c), 2).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("relu_proj", [False, True])
+def test_highway(relu_proj):
+    """Highway gate; B1 applies ReLU to the projection, others don't
+    (B1-LSTM/models.py:52 vs MFT/models.py:52-54)."""
+    key = jax.random.PRNGKey(3)
+    kp, kg = jax.random.split(key)
+    p = {"linear_projection": linear_init(kp, 10, 10),
+         "linear_gate": linear_init(kg, 10, 10)}
+    x = np.random.RandomState(3).randn(7, 10).astype(np.float32)
+    got = to_np(highway(p, jnp.asarray(x), relu_proj=relu_proj))
+    xt = torch.from_numpy(x)
+    proj = make_torch_linear(p["linear_projection"])(xt)
+    if relu_proj:
+        proj = F.relu(proj)
+    gate = torch.sigmoid(make_torch_linear(p["linear_gate"])(xt))
+    want = (gate * proj + (1 - gate) * xt).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def _torch_reference_attention(q, k, v, mask, h):
+    """Reference MHA math in torch (multiTransformer.py:22-65), including the
+    query-row mask quirk: mask [B,T,1] -> unsqueeze(1) -> fills rows."""
+    B, T, D = q.shape
+    d_k = D // h
+
+    def split_heads(x):
+        return x.view(B, -1, h, d_k).transpose(1, 2)
+
+    scores = torch.matmul(split_heads(q), split_heads(k).transpose(-2, -1)) \
+        / np.sqrt(d_k)
+    if mask is not None:
+        scores = scores.masked_fill(mask.unsqueeze(1) == 0, -1e9)
+    p_attn = F.softmax(scores, dim=-1)
+    x = torch.matmul(p_attn, split_heads(v))
+    return x.transpose(1, 2).contiguous().view(B, -1, D)
+
+
+def test_mha_query_mask_quirk_matches_torch():
+    key = jax.random.PRNGKey(4)
+    B, T, D, h = 2, 9, 32, 8
+    p = mha_init(key, D)
+    rs = np.random.RandomState(4)
+    x = rs.randn(B, T, D).astype(np.float32)
+    mask = np.ones((B, T, 1), np.float32)
+    mask[0, 6:] = 0.0  # sequence 0 has length 6
+    got = to_np(multi_head_attention(
+        p, jnp.asarray(x), jnp.asarray(x), jnp.asarray(x), jnp.asarray(mask),
+        h=h, rng=None, mask_mode="query"))
+
+    lins = [make_torch_linear(lp) for lp in p["linears"]]
+    xt = torch.from_numpy(x)
+    q, k, v = lins[0](xt), lins[1](xt), lins[2](xt)
+    attn_out = _torch_reference_attention(q, k, v, torch.from_numpy(mask), h)
+    want = lins[3](attn_out).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_key_query_mask_is_padding_invariant():
+    """The clean mask mode must give identical valid-position outputs no
+    matter how much padding is appended — the property that makes bucketed
+    TPU eval exact."""
+    key = jax.random.PRNGKey(5)
+    B, T, D, h = 1, 6, 32, 8
+    p = mha_init(key, D)
+    rs = np.random.RandomState(5)
+    x = rs.randn(B, T, D).astype(np.float32)
+    mask = np.ones((B, T, 1), np.float32)
+    out_exact = to_np(multi_head_attention(
+        p, *[jnp.asarray(x)] * 3, jnp.asarray(mask), h=h,
+        mask_mode="key_query"))
+
+    pad = 7
+    xp = np.concatenate([x, rs.randn(B, pad, D).astype(np.float32)], axis=1)
+    maskp = np.concatenate([mask, np.zeros((B, pad, 1), np.float32)], axis=1)
+    out_padded = to_np(multi_head_attention(
+        p, *[jnp.asarray(xp)] * 3, jnp.asarray(maskp), h=h,
+        mask_mode="key_query"))
+    np.testing.assert_allclose(out_exact, out_padded[:, :T], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_lstm_cell_matches_torch():
+    key = jax.random.PRNGKey(6)
+    D, H, B = 13, 11, 4
+    p = lstm_init(key, D, H)
+    cell = torch.nn.LSTMCell(D, H)
+    with torch.no_grad():
+        cell.weight_ih.copy_(torch.from_numpy(to_np(p["weight_ih"])))
+        cell.weight_hh.copy_(torch.from_numpy(to_np(p["weight_hh"])))
+        cell.bias_ih.copy_(torch.from_numpy(to_np(p["bias_ih"])))
+        cell.bias_hh.copy_(torch.from_numpy(to_np(p["bias_hh"])))
+    rs = np.random.RandomState(6)
+    x = rs.randn(B, D).astype(np.float32)
+    h = rs.randn(B, H).astype(np.float32)
+    c = rs.randn(B, H).astype(np.float32)
+    got_h, got_c = lstm_cell_step(p, jnp.asarray(x), jnp.asarray(h),
+                                  jnp.asarray(c))
+    want_h, want_c = cell(torch.from_numpy(x),
+                          (torch.from_numpy(h), torch.from_numpy(c)))
+    np.testing.assert_allclose(to_np(got_h), want_h.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(to_np(got_c), want_c.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_scan_matches_torch_lstm():
+    key = jax.random.PRNGKey(7)
+    D, H, B, T = 10, 14, 3, 17
+    p = lstm_init(key, D, H)
+    lstm = torch.nn.LSTM(D, H, 1, batch_first=True)
+    with torch.no_grad():
+        lstm.weight_ih_l0.copy_(torch.from_numpy(to_np(p["weight_ih"])))
+        lstm.weight_hh_l0.copy_(torch.from_numpy(to_np(p["weight_hh"])))
+        lstm.bias_ih_l0.copy_(torch.from_numpy(to_np(p["bias_ih"])))
+        lstm.bias_hh_l0.copy_(torch.from_numpy(to_np(p["bias_hh"])))
+    x = np.random.RandomState(7).randn(B, T, D).astype(np.float32)
+    hs, (h_T, c_T) = lstm_scan(p, jnp.asarray(x))
+    want, (wh, wc) = lstm(torch.from_numpy(x))
+    np.testing.assert_allclose(to_np(hs), want.detach().numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(to_np(h_T), wh[0].detach().numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_convolve_local_attn_matches_torch():
+    """pad_shift/convolve (reference MFT/models.py:10-25)."""
+    rs = np.random.RandomState(8)
+    B, T, D, K = 2, 9, 5, 4
+    x = rs.randn(B, T, D).astype(np.float32)
+    attn = rs.rand(B, T, K).astype(np.float32)
+    got = to_np(convolve_local_attn(jnp.asarray(x), jnp.asarray(attn)))
+
+    xt = torch.from_numpy(x)
+
+    def tshift(x_, i):
+        if i == 0:
+            return x_
+        padding = torch.zeros(x_.size(0), i, x_.size(2))
+        return torch.cat((padding, x_[:, :-i, :]), dim=1)
+
+    stacked = torch.stack([tshift(xt, i) for i in range(K)], dim=-1)
+    want = torch.sum(torch.from_numpy(attn).unsqueeze(2) * stacked,
+                     dim=-1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ccc_matches_reference_formula():
+    """CCC vs the np.cov(bias=True) formula (reference MFT/train.py:42-50)."""
+    rs = np.random.RandomState(9)
+    y = rs.randn(50)
+    p = 0.8 * y + 0.2 * rs.randn(50) + 0.1
+    covar = np.cov(y, p, bias=True)[0][1]
+    want = 2 * covar / (y.var() + p.var() + (p.mean() - y.mean()) ** 2)
+    assert abs(ccc(y, p) - want) < 1e-12
+
+
+def test_encoder_stack_matches_torch_reference():
+    """Full 2-layer pre-norm encoder vs reference-math torch oracle."""
+    key = jax.random.PRNGKey(10)
+    B, T, D, h, d_ff, N = 2, 7, 16, 4, 24, 2
+    enc = encoder_init(key, D, d_ff, N)
+    rs = np.random.RandomState(10)
+    x = rs.randn(B, T, D).astype(np.float32)
+    mask = np.ones((B, T, 1), np.float32)
+    mask[1, 5:] = 0
+    got = to_np(encoder_stack(enc, jnp.asarray(x), jnp.asarray(mask), h=h,
+                              rng=None, mask_mode="query"))
+
+    def t_norm(np_params, xt):
+        mean = xt.mean(-1, keepdim=True)
+        std = xt.std(-1, keepdim=True)
+        return (torch.from_numpy(to_np(np_params["a_2"])) * (xt - mean)
+                / (std + 1e-6) + torch.from_numpy(to_np(np_params["b_2"])))
+
+    xt = torch.from_numpy(x)
+    mt = torch.from_numpy(mask)
+    for layer in enc["layers"]:
+        lins = [make_torch_linear(lp) for lp in layer["self_attn"]["linears"]]
+        normed = t_norm(layer["sublayer"][0]["norm"], xt)
+        attn = _torch_reference_attention(lins[0](normed), lins[1](normed),
+                                          lins[2](normed), mt, h)
+        xt = xt + lins[3](attn)
+        normed = t_norm(layer["sublayer"][1]["norm"], xt)
+        w1 = make_torch_linear(layer["feed_forward"]["w_1"])
+        w2 = make_torch_linear(layer["feed_forward"]["w_2"])
+        xt = xt + w2(F.relu(w1(normed)))
+    want = t_norm(enc["norm"], xt).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_mfn_scan_matches_torch_reference():
+    """MFN gate algebra vs a step-by-step torch oracle
+    (reference multiTransformer.py:181-248)."""
+    mods = ["linguistic", "acoustic"]
+    dims = {"linguistic": 24, "acoustic": 16}
+    key = jax.random.PRNGKey(11)
+    p = mfn_init(key, mods, dims, output_dim=1)
+    rs = np.random.RandomState(11)
+    B, T = 3, 6
+    inputs = {m: rs.randn(B, T, dims[m]).astype(np.float32) for m in mods}
+    got = to_np(mfn_scan(p, {m: jnp.asarray(v) for m, v in inputs.items()},
+                         mods, rng=None))
+
+    # torch oracle, time-major like the reference
+    cells = {}
+    for m in mods:
+        cell = torch.nn.LSTMCell(dims[m], HIDDEN_DIM[m])
+        with torch.no_grad():
+            cell.weight_ih.copy_(torch.from_numpy(to_np(p[f"lstm_{m}"]["weight_ih"])))
+            cell.weight_hh.copy_(torch.from_numpy(to_np(p[f"lstm_{m}"]["weight_hh"])))
+            cell.bias_ih.copy_(torch.from_numpy(to_np(p[f"lstm_{m}"]["bias_ih"])))
+            cell.bias_hh.copy_(torch.from_numpy(to_np(p[f"lstm_{m}"]["bias_hh"])))
+        cells[m] = cell
+    lin = {k: make_torch_linear(p[k]) for k in
+           ["att1_fc1", "att1_fc2", "att2_fc1", "att2_fc2", "gamma1_fc1",
+            "gamma1_fc2", "gamma2_fc1", "gamma2_fc2", "out_fc1", "out_fc2"]}
+    h = {m: torch.zeros(B, HIDDEN_DIM[m]) for m in mods}
+    c = {m: torch.zeros(B, HIDDEN_DIM[m]) for m in mods}
+    mem = torch.zeros(B, MEM_DIM)
+    all_hs, all_mems = [], []
+    for t in range(T):
+        prev_cs = torch.cat([c[m] for m in mods], dim=1)
+        for m in mods:
+            h[m], c[m] = cells[m](torch.from_numpy(inputs[m][:, t]),
+                                  (h[m], c[m]))
+        new_cs = torch.cat([c[m] for m in mods], dim=1)
+        c_star = torch.cat([prev_cs, new_cs], dim=1)
+        attention = F.softmax(lin["att1_fc2"](F.relu(lin["att1_fc1"](c_star))),
+                              dim=1)
+        attended = attention * c_star
+        c_hat = torch.tanh(lin["att2_fc2"](F.relu(lin["att2_fc1"](attended))))
+        both = torch.cat([attended, mem], dim=1)
+        g1 = torch.sigmoid(lin["gamma1_fc2"](F.relu(lin["gamma1_fc1"](both))))
+        g2 = torch.sigmoid(lin["gamma2_fc2"](F.relu(lin["gamma2_fc1"](both))))
+        mem = g1 * mem + g2 * c_hat
+        all_hs.append(torch.cat([h[m] for m in mods], dim=1))
+        all_mems.append(mem)
+    outs = []
+    for t in range(T):
+        feats = torch.cat([all_hs[t], all_mems[t]], dim=1)
+        outs.append(lin["out_fc2"](F.relu(lin["out_fc1"](feats))).unsqueeze(1))
+    want = torch.cat(outs, dim=1).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
