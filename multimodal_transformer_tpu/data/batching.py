@@ -1,0 +1,107 @@
+"""Batching: reference-faithful chunked batches + TPU bucketed batches.
+
+`make_batches` replicates the reference batcher semantics
+(reference MFT/train.py:52-108 `chunks`/`generateInputChunkHelper`/
+`generateTrainBatch`): shuffle indices (train only), chunk into batch_size
+(train default 25, eval 1 — train.py:74,169,218), sort each chunk by length
+descending (stable), truncate the time dim to the chunk max, and build a
+[B, T, 1] float mask.  With the reference's query-row attention mask, outputs
+depend on the padded length, so parity evaluation must use these exact shapes.
+
+`bucketed_eval_batches` is the TPU-throughput path: videos are grouped into a
+small set of (T, F) shape buckets (powers-of-two-ish) so XLA compiles a
+handful of programs instead of one per video; correctness under padding
+requires the models' "key_query" mask mode (padding-invariant — see
+ops/attention.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Batch:
+    data: Dict[str, np.ndarray]   # mod -> [B, T, F, D]
+    target: np.ndarray            # [B, T, 1]
+    mask: np.ndarray              # [B, T, 1]
+    lengths: List[int]            # descending
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _take_time(a: np.ndarray, idx: List[int], t: int) -> np.ndarray:
+    """a[idx] with the time axis sliced or zero-padded to exactly t."""
+    out = a[idx][:, :t]
+    if out.shape[1] < t:
+        pad = [(0, 0)] * out.ndim
+        pad[1] = (0, t - out.shape[1])
+        out = np.pad(out, pad)
+    return out
+
+
+def make_batches(data: Dict[str, np.ndarray], target: np.ndarray,
+                 seq_lens: Sequence[int], batch_size: int = 25,
+                 shuffle: bool = False,
+                 rng: Optional[np.random.RandomState] = None,
+                 pad_time_to: Optional[int] = None) -> Iterator[Batch]:
+    """Yield reference-semantics batches.
+
+    data: mod -> [V, W, F, D]; target: [V, W]; seq_lens: per-video window
+    counts.  pad_time_to: optionally round the chunk-max time up to a multiple
+    (TPU-friendly static shapes; only valid with key-masked attention).
+    """
+    n = target.shape[0]
+    index = list(range(n))
+    if shuffle:
+        (rng or np.random).shuffle(index)
+    for i in range(0, n, batch_size):
+        chunk = index[i:i + batch_size]
+        lens = [int(seq_lens[j]) for j in chunk]
+        # stable sort by length descending (reference itemgetter sort)
+        order = sorted(range(len(chunk)), key=lambda k: -lens[k])
+        chunk = [chunk[k] for k in order]
+        lens = [lens[k] for k in order]
+        t_max = max(lens)
+        if pad_time_to is not None:
+            t_max = _round_up(t_max, pad_time_to)
+        batch_data = {m: _take_time(a, chunk, t_max) for m, a in data.items()}
+        tgt = _take_time(target, chunk, t_max)[..., None].astype(np.float32)
+        mask = np.zeros((len(chunk), t_max, 1), dtype=np.float32)
+        for bi, ln in enumerate(lens):
+            mask[bi, :ln] = 1.0
+        yield Batch(batch_data, tgt, mask, lens)
+
+
+def bucketed_eval_batches(data: Dict[str, np.ndarray], target: np.ndarray,
+                          seq_lens: Sequence[int], batch_size: int = 32,
+                          time_multiple: int = 32) -> Iterator[Batch]:
+    """Group videos by padded-length bucket, then emit fixed-size batches.
+
+    Every batch's time dim is the bucket bound (multiple of `time_multiple`),
+    so at most ceil(T_max/time_multiple) XLA programs are compiled per model.
+    The final partial batch of each bucket is padded with repeated videos and
+    a zeroed mask row is NOT used — instead callers rely on per-video CCC
+    being computed only for the first `len(lengths)` rows.
+    """
+    n = target.shape[0]
+    buckets: Dict[int, List[int]] = {}
+    for v in range(n):
+        b = _round_up(max(int(seq_lens[v]), 1), time_multiple)
+        buckets.setdefault(b, []).append(v)
+    for bound in sorted(buckets):
+        vids = buckets[bound]
+        for i in range(0, len(vids), batch_size):
+            chunk = vids[i:i + batch_size]
+            lens = [int(seq_lens[j]) for j in chunk]
+            batch_data = {m: _take_time(a, chunk, bound) for m, a in data.items()}
+            tgt = _take_time(target, chunk, bound)[..., None].astype(np.float32)
+            mask = np.zeros((len(chunk), bound, 1), dtype=np.float32)
+            for bi, ln in enumerate(lens):
+                mask[bi, :ln] = 1.0
+            yield Batch(batch_data, tgt, mask, lens)
