@@ -179,8 +179,13 @@ def load_send(modalities: Sequence[str], base_dir: str, subset: str,
         for m, spec in specs.items():
             path = discovered[m][i][1]
             df = _read_table(path, spec.fmt)
+            # label slice col_start:col_stop inclusive, like the reference's
+            # df.loc preprocessors; if the stop label is absent (reduced-dim
+            # fixtures) take everything from col_start to the last column.
+            stop = (spec.col_stop if spec.col_stop in df.columns
+                    else df.columns[-1])
             feats = np.asarray(
-                df.loc[:, spec.col_start:spec.col_stop], dtype=np.float32)
+                df.loc[:, spec.col_start:stop], dtype=np.float32)
             if feats.ndim == 1:
                 feats = feats[:, None]
             feats = feats * spec.scale

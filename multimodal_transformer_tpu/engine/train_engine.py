@@ -1,0 +1,183 @@
+"""Train/eval engine: jitted steps, epoch loops, per-video CCC evaluation.
+
+Mirrors the reference L4 engine semantics (reference MFT/train.py:110-257):
+  * loss    = MSE(sum) over the masked batch, divided by sum(lengths) for the
+    gradient step (train.py:135-139);
+  * one Adam step per batch, then zero grads (step-then-zero order is
+    irrelevant in a functional setting);
+  * evaluation at batch_size=1 per video, CCC per video, mean over videos
+    (train.py:199-257) — the `parity` path;
+  * additionally a TPU-throughput `batched` eval path over bucketed
+    static-shape batches with on-device per-video CCC (a capability the
+    reference never had; requires mask_mode='key_query' for exactness).
+
+Log-line formats are byte-identical to the reference (they are part of the
+observable API — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batching import Batch, bucketed_eval_batches, make_batches
+from ..models import ModelConfig, build_model
+from ..ops.metrics import ccc, ccc_masked, pearson
+from .optim import ReduceLROnPlateau, adam_init, adam_update
+
+
+class Engine:
+    """Owns the jitted step functions for one (family, modalities) config."""
+
+    def __init__(self, cfg: ModelConfig, lr: float = 1e-4,
+                 weight_decay: float = 1e-4, seed: int = 1,
+                 mesh=None, logger=None):
+        self.cfg = cfg
+        self.lr = lr
+        self.mesh = mesh
+        self.logger = logger
+        init_fn, apply_fn = build_model(cfg)
+        self.apply_fn = apply_fn
+        self.params = init_fn(jax.random.PRNGKey(seed))
+        self.opt_state = adam_init(self.params)
+        self.scheduler = ReduceLROnPlateau(lr=lr)
+        self._wd = weight_decay
+        self._epoch = 0
+
+        def loss_fn(params, data, target, mask, denom, rng):
+            pred = apply_fn(params, data, mask, rng=rng)
+            d = (pred - target)
+            batch_loss = jnp.sum(d * d)
+            return batch_loss / denom, batch_loss
+
+        def train_step(params, opt_state, data, target, mask, denom, lr_now,
+                       rng):
+            (_, batch_loss), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, data, target, mask, denom, rng)
+            params, opt_state = adam_update(params, grads, opt_state, lr_now,
+                                            weight_decay=weight_decay)
+            return params, opt_state, batch_loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        def eval_step(params, data, mask):
+            return apply_fn(params, data, mask, rng=None)
+
+        self._eval_step = jax.jit(eval_step)
+
+        def eval_batched_step(params, data, target, mask):
+            pred = apply_fn(params, data, mask, rng=None)
+            d = pred - target
+            loss = jnp.sum(d * d)
+            cccs = ccc_masked(target[..., 0], pred[..., 0], mask[..., 0])
+            return pred, loss, cccs
+
+        self._eval_batched_step = jax.jit(eval_batched_step)
+
+    # ------------------------------------------------------------------ train
+
+    def _device_batch(self, batch: Batch):
+        data = {m: jnp.asarray(v) for m, v in batch.data.items()}
+        return data, jnp.asarray(batch.target), jnp.asarray(batch.mask)
+
+    def train_epoch(self, data: Dict[str, np.ndarray], target: np.ndarray,
+                    seq_lens: List[int], *, batch_size: int = 25,
+                    rng: Optional[np.random.RandomState] = None,
+                    jax_rng: Optional[jax.Array] = None,
+                    pad_time_to: Optional[int] = None) -> float:
+        """One epoch over reference-semantics batches.  Returns mean loss per
+        timepoint (the reference's epoch loss, train.py:152-154)."""
+        self._epoch += 1
+        if jax_rng is None:
+            jax_rng = jax.random.PRNGKey(self._epoch)
+        loss_sum, data_num, batch_num = 0.0, 0, 0
+        for batch in make_batches(data, target, seq_lens,
+                                  batch_size=batch_size, shuffle=True,
+                                  rng=rng, pad_time_to=pad_time_to):
+            bd, bt, bm = self._device_batch(batch)
+            denom = jnp.asarray(float(sum(batch.lengths)))
+            step_rng = jax.random.fold_in(jax_rng, batch_num)
+            self.params, self.opt_state, batch_loss = self._train_step(
+                self.params, self.opt_state, bd, bt, bm, denom,
+                jnp.asarray(self.scheduler.lr, jnp.float32), step_rng)
+            loss_sum += float(batch_loss)
+            data_num += sum(batch.lengths)
+            if self.logger:
+                self.logger.info('Batch: {:5d}\tLoss: {:2.5f}'.format(
+                    batch_num, loss_sum / data_num))
+            batch_num += 1
+        epoch_loss = loss_sum / max(data_num, 1)
+        if self.logger:
+            self.logger.info('---')
+            self.logger.info('Epoch: {}\tLoss: {:2.5f}'.format(
+                self._epoch, epoch_loss))
+        return epoch_loss
+
+    # ------------------------------------------------------------------- eval
+
+    def evaluate_per_video(self, data, target, seq_lens
+                           ) -> Tuple[List[float], List[List[float]],
+                                      List[List[float]], float, Dict]:
+        """Reference-exact eval: bs=1 per video, no shuffle, zero padding.
+        Returns (cccs, predictions, actuals, loss, stats)."""
+        cccs, corrs, preds, actuals = [], [], [], []
+        loss_sum, data_num = 0.0, 0
+        best = (-1.0, None, None, 0)
+        index = 0
+        for batch in make_batches(data, target, seq_lens, batch_size=1,
+                                  shuffle=False):
+            bd, bt, bm = self._device_batch(batch)
+            out = self._eval_step(self.params, bd, bm)
+            d = np.asarray(out - bt)
+            loss_sum += float((d * d).sum())
+            data_num += sum(batch.lengths)
+            o = np.asarray(out).reshape(-1)
+            t = batch.target.reshape(-1)
+            preds.append(o.tolist())
+            actuals.append(t.tolist())
+            cur = ccc(t, o)
+            cccs.append(cur)
+            corrs.append(pearson(t, o))
+            index += 1
+            if cur > best[0]:
+                best = (cur, o, t, index)
+        loss = loss_sum / max(data_num, 1)
+        stats = {"corr": float(np.mean(corrs)),
+                 "corr_std": float(np.std(corrs)),
+                 "ccc": float(np.mean(cccs)), "ccc_std": float(np.std(cccs)),
+                 "max_ccc": best[0]}
+        if self.logger:
+            self.logger.info(
+                'Evaluation\tLoss: {:2.5f}\tCorr: {:0.3f}\tCCC: {:0.9f}'.format(
+                    loss, stats['corr'], stats['ccc']))
+        return cccs, preds, actuals, loss, stats, (best[1], best[2], best[3])
+
+    def evaluate_batched(self, data, target, seq_lens, *,
+                         batch_size: int = 32, time_multiple: int = 32
+                         ) -> Tuple[List[float], float, Dict]:
+        """TPU-throughput eval over bucketed static shapes.
+
+        Per-video CCC computed on device; a handful of XLA programs total.
+        Exact iff cfg.mask_mode == 'key_query' (padding-invariant attention).
+        """
+        cccs: List[float] = []
+        loss_sum, data_num = 0.0, 0
+        for batch in bucketed_eval_batches(data, target, seq_lens,
+                                           batch_size=batch_size,
+                                           time_multiple=time_multiple):
+            bd, bt, bm = self._device_batch(batch)
+            _, loss, c = self._eval_batched_step(self.params, bd, bt, bm)
+            loss_sum += float(loss)
+            data_num += sum(batch.lengths)
+            cccs.extend(np.asarray(c)[:len(batch.lengths)].tolist())
+        stats = {"ccc": float(np.mean(cccs)), "ccc_std": float(np.std(cccs)),
+                 "max_ccc": float(np.max(cccs))}
+        return cccs, loss_sum / max(data_num, 1), stats
+
+    def scheduler_step(self, eval_loss: float) -> float:
+        return self.scheduler.step(eval_loss)

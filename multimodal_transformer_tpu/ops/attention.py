@@ -89,8 +89,10 @@ def encoder_layer_init(key, d_model: int, d_ff: int):
 def encoder_init(key, d_model: int, d_ff: int, n_layers: int):
     """N identical layers (reference clones() semantics) + final norm."""
     layer = encoder_layer_init(key, d_model, d_ff)
+    # deep-copy buffers per layer (identical values, distinct arrays — shared
+    # buffers would break jit argument donation)
     return {
-        "layers": [jax.tree_util.tree_map(lambda x: x, layer)
+        "layers": [jax.tree_util.tree_map(lambda x: x.copy(), layer)
                    for _ in range(n_layers)],
         "norm": norm_init(d_model),
     }

@@ -1,0 +1,118 @@
+"""Engine tests: Adam parity vs torch, plateau scheduler, end-to-end training
+on the synthetic fixture, checkpoint roundtrip, batched-vs-per-video eval
+agreement in key_query mask mode."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_transformer_tpu.data import (generate_synthetic_send,
+                                             load_send, window_pipeline)
+from multimodal_transformer_tpu.engine import (Engine, ReduceLROnPlateau,
+                                               adam_init, adam_update,
+                                               load_checkpoint,
+                                               save_checkpoint)
+from multimodal_transformer_tpu.models import default_config
+
+SMALL_DIMS = {"linguistic": 16, "emotient": 20, "image": 12, "acoustic": 10}
+
+
+def test_adam_matches_torch():
+    rs = np.random.RandomState(0)
+    p0 = rs.randn(4, 3).astype(np.float32)
+    params = {"w": jnp.asarray(p0)}
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt = torch.optim.Adam([tp], lr=1e-2, weight_decay=1e-4)
+    state = adam_init(params)
+    cur = params
+    for step in range(5):
+        g = rs.randn(4, 3).astype(np.float32)
+        cur, state = adam_update(cur, {"w": jnp.asarray(g)}, state,
+                                 jnp.asarray(1e-2), weight_decay=1e-4)
+        tp.grad = torch.from_numpy(g.copy())
+        opt.step()
+        opt.zero_grad()
+    np.testing.assert_allclose(np.asarray(cur["w"]), tp.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_plateau_scheduler_matches_torch():
+    sched_mine = ReduceLROnPlateau(lr=1.0, patience=3, factor=0.5)
+    tp = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([tp], lr=1.0)
+    sched_torch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", patience=3, factor=0.5)
+    metrics = [10.0, 9.0, 9.0, 9.0, 9.0, 9.0, 8.0, 8.0, 8.0, 8.0, 8.0, 8.0]
+    for m in metrics:
+        lr_mine = sched_mine.step(m)
+        sched_torch.step(m)
+        lr_torch = opt.param_groups[0]["lr"]
+        assert lr_mine == pytest.approx(lr_torch), (m, lr_mine, lr_torch)
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("send_engine")
+    generate_synthetic_send(str(d), {"Train": 6, "Valid": 3},
+                            duration_s=24.0, dims=SMALL_DIMS, seed=3)
+    cfg = default_config("B2-Trans", ("acoustic", "linguistic"))
+    object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
+    train = load_send(list(cfg.modalities), str(d), "Train")
+    valid = load_send(list(cfg.modalities), str(d), "Valid")
+    tr = window_pipeline(train, cfg.window_size, cfg.modalities,
+                         cfg.mod_dimension)
+    va = window_pipeline(valid, cfg.window_size, cfg.modalities,
+                         cfg.mod_dimension)
+    return cfg, tr, va
+
+
+def test_end_to_end_training_reduces_loss(fixture):
+    cfg, (tr_x, tr_y, tr_l), (va_x, va_y, va_l) = fixture
+    eng = Engine(cfg, lr=1e-3, seed=1)
+    rng = np.random.RandomState(1)
+    first = eng.train_epoch(tr_x, tr_y, tr_l, batch_size=3, rng=rng)
+    losses = [first]
+    for _ in range(4):
+        losses.append(eng.train_epoch(tr_x, tr_y, tr_l, batch_size=3,
+                                      rng=rng))
+    assert losses[-1] < losses[0], losses
+    cccs, preds, actuals, loss, stats, best = eng.evaluate_per_video(
+        va_x, va_y, va_l)
+    assert len(cccs) == 3
+    assert np.isfinite(stats["ccc"])
+    assert len(preds[0]) == va_l[0]
+
+
+def test_checkpoint_roundtrip(fixture):
+    cfg, (tr_x, tr_y, tr_l), _ = fixture
+    eng = Engine(cfg, seed=2)
+    path = "/tmp/mmtx_test_ckpt/B2.ckpt"
+    save_checkpoint(cfg.modalities, cfg.mod_dimension, cfg.window_size,
+                    eng.params, path)
+    ck = load_checkpoint(path)
+    assert ck["modalities"] == list(cfg.modalities)
+    assert ck["mod_dimension"]["acoustic"] == cfg.mod_dimension["acoustic"]
+    eng2 = Engine(cfg, seed=99)  # different init
+    eng2.params = ck["model"]
+    b1, _, _, _, _, _ = eng.evaluate_per_video(tr_x, tr_y, tr_l)
+    b2, _, _, _, _, _ = eng2.evaluate_per_video(tr_x, tr_y, tr_l)
+    np.testing.assert_allclose(b1, b2, rtol=1e-6)
+
+
+def test_batched_eval_matches_per_video_in_clean_mask_mode(fixture):
+    _, (tr_x, tr_y, tr_l), (va_x, va_y, va_l) = fixture
+    cfg = default_config("B2-Trans", ("acoustic", "linguistic"),
+                         mask_mode="key_query")
+    object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
+    eng = Engine(cfg, seed=5)
+    cccs_ref, _, _, _, stats_ref, _ = eng.evaluate_per_video(va_x, va_y, va_l)
+    cccs_fast, _, stats_fast = eng.evaluate_batched(va_x, va_y, va_l,
+                                                    batch_size=2,
+                                                    time_multiple=8)
+    # bucketing changes video order within buckets; compare as sorted sets
+    np.testing.assert_allclose(sorted(cccs_ref), sorted(cccs_fast),
+                               rtol=1e-3, atol=1e-4)
+    assert stats_fast["ccc"] == pytest.approx(stats_ref["ccc"], rel=1e-3)
