@@ -1,0 +1,260 @@
+"""Training/evaluation CLI with the reference's observable surface.
+
+Replicates the reference `python train.py` behavior (reference
+MFT/train.py:522-644, SFT/train.py:520-660, Performance-Eval/train.py:512-606)
+in one driver parameterized by --family instead of five forked directories:
+
+  python train.py --family MFT                      # comb x acoustic-dim sweep
+  python train.py --family SFT                      # train the fixed combo
+  python train.py --family SFT --eval --load CKPT   # Valid eval + PredSave dump
+  python train.py --family SFT --test --load CKPT   # Test eval + PredSave dump
+  python train.py --perf --model_save DIR           # PerfSave sweep over ckpts
+
+Checkpoints keep the reference metadata dict (modalities/mod_dimension/
+window_size/model) and the reference naming scheme
+({family}-{comb}[-{acoustic_dim}].ckpt); PredSave/PerfSave CSVs keep the
+reference schemas.  Flags the reference parses but never uses (--split,
+--sup_ratio, --normalize, ...) are accepted for surface compatibility.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from multimodal_transformer_tpu.data import load_send, window_pipeline
+from multimodal_transformer_tpu.engine import (Engine, append_perf_save,
+                                               get_logger, load_checkpoint,
+                                               save_checkpoint,
+                                               seq_id_strings,
+                                               write_pred_save)
+from multimodal_transformer_tpu.models import (default_config,
+                                               modalities_from_comb)
+
+# PredSave dump videos (reference SFT/train.py:600-607)
+PRED_SAVE_VIDEO = {"Valid": "173_4", "Test": "165_2"}
+
+
+def comb_string(modalities) -> str:
+    letters = {"image": "V", "acoustic": "A", "linguistic": "L"}
+    return "".join(letters[m] for m in modalities if m in letters)
+
+
+def prepare_data(cfg, data_dir, subset, linguistic_variant="glove"):
+    ds = load_send(list(cfg.modalities), data_dir, subset,
+                   linguistic_variant=linguistic_variant)
+    padded, targets, seq_lens = window_pipeline(
+        ds, cfg.window_size, cfg.modalities, cfg.mod_dimension)
+    return ds, padded, targets, seq_lens
+
+
+def train_one(args, cfg, ckpt_path, logger):
+    lvar = "bert" if cfg.family == "B1-LSTM" else "glove"
+    _, tr_x, tr_y, tr_l = prepare_data(cfg, args.data_dir, "Train", lvar)
+    _, va_x, va_y, va_l = prepare_data(cfg, args.data_dir, "Valid", lvar)
+    eng = Engine(cfg, lr=args.lr, seed=1, logger=logger)
+    rng = np.random.RandomState(1)
+    best_ccc, single_best_ccc = -1.0, -1.0
+    for epoch in range(1, args.epochs + 1):
+        print("---")
+        eng.train_epoch(tr_x, tr_y, tr_l, batch_size=args.batch_size, rng=rng)
+        if epoch % args.eval_freq == 0:
+            _, _, _, loss, stats, (bo, bt, bi) = eng.evaluate_per_video(
+                va_x, va_y, va_l)
+            if cfg.family != "B1-LSTM":  # B1 has no scheduler (train.py:593)
+                eng.scheduler_step(loss)
+            if stats["ccc"] > best_ccc:
+                best_ccc = stats["ccc"]
+                save_checkpoint(cfg.modalities, cfg.mod_dimension,
+                                cfg.window_size, eng.params, ckpt_path)
+            if stats["max_ccc"] > single_best_ccc:
+                single_best_ccc = stats["max_ccc"]
+                logger.info('===single_max_predict===')
+                logger.info(bo)
+                logger.info(bt)
+                logger.info(bi)
+                logger.info('===end single_max_predict===')
+            logger.info('CCC_STATS\tSINGLE_BEST: {:0.9f}\tBEST: {:0.9f}'.format(
+                single_best_ccc, best_ccc))
+    return best_ccc
+
+
+def eval_mode(args, logger):
+    eval_dir = "Valid" if args.eval else "Test"
+    print("evaluating on the " + eval_dir + " Set.")
+    ck = load_checkpoint(args.load)
+    family = args.family
+    cfg = default_config(family, ck["modalities"],
+                         mask_mode=args.mask_mode)
+    object.__setattr__(cfg, "mod_dimension",
+                       {k: int(v) for k, v in ck["mod_dimension"].items()})
+    object.__setattr__(cfg, "window_size",
+                       {k: int(v) for k, v in ck["window_size"].items()})
+    lvar = "bert" if family == "B1-LSTM" else "glove"
+    ds, x, y, lens = prepare_data(cfg, args.data_dir, eval_dir, lvar)
+    eng = Engine(cfg, logger=logger)
+    eng.params = ck["model"]
+    cccs, preds, actuals, _, stats, _ = eng.evaluate_per_video(x, y, lens)
+    logger.info('Evaluation\tCCC(std): {:2.5f}({:2.5f})'.format(
+        stats["ccc"], stats["ccc_std"]))
+    seq_ids = seq_id_strings(ds.seq_ids)
+    vid = PRED_SAVE_VIDEO[eval_dir]
+    if vid in seq_ids:
+        i = seq_ids.index(vid)
+        out_name = f"{family}{vid}"
+        write_pred_save(os.path.join(args.pred_save_dir, out_name + ".csv"),
+                        preds[i], actuals[i])
+    return stats
+
+
+def perf_mode(args, logger):
+    """PerfSave sweep (reference Performance-Eval/train.py:529-573)."""
+    out = os.path.basename(os.path.normpath(args.model_save))
+    for root, _, files in os.walk(args.model_save):
+        for name in sorted(files):
+            if not name.endswith(".ckpt"):
+                continue
+            parts = name.rsplit(".", 1)[0].split("-")
+            # {family}-{comb}[-{acoustic_dim}]; family may contain '-' (B1-LSTM)
+            acoustic_dim = 88
+            if parts[-1].isdigit():
+                acoustic_dim = int(parts[-1])
+                comb = parts[-2]
+                model_str = "-".join(parts[:-2]) + "-" + parts[-1]
+                family = "-".join(parts[:-2])
+            else:
+                comb = parts[-1]
+                model_str = "-".join(parts[:-1])
+                family = model_str
+            mod_str = "".join(sorted(comb))
+            ck = load_checkpoint(os.path.join(root, name))
+            for eval_dir in ["Train", "Valid", "Test"]:
+                print(f"Evaluating {model_str} with {mod_str} performances "
+                      f"on {eval_dir}")
+                cfg = default_config(family, ck["modalities"],
+                                     acoustic_embed=acoustic_dim,
+                                     mask_mode=args.mask_mode)
+                object.__setattr__(cfg, "mod_dimension",
+                                   {k: int(v) for k, v in
+                                    ck["mod_dimension"].items()})
+                object.__setattr__(cfg, "window_size",
+                                   {k: int(v) for k, v in
+                                    ck["window_size"].items()})
+                lvar = "bert" if family == "B1-LSTM" else "glove"
+                ds, x, y, lens = prepare_data(cfg, args.data_dir, eval_dir,
+                                              lvar)
+                eng = Engine(cfg, logger=logger)
+                eng.params = ck["model"]
+                cccs, _, _, _, stats, _ = eng.evaluate_per_video(x, y, lens)
+                logger.info('Evaluation\tCCC(std): {:2.5f}({:2.5f})'.format(
+                    stats["ccc"], stats["ccc_std"]))
+                append_perf_save(
+                    os.path.join(args.perf_save_dir, out + ".csv"),
+                    model_str, mod_str, seq_id_strings(ds.seq_ids), cccs,
+                    eval_dir)
+
+
+def build_arg_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--family', type=str, default="MFT",
+                        help='model family: MFT|SFT|B1-LSTM|B2-Trans|B3-MFN')
+    parser.add_argument('--modalities', type=str, default=None, nargs='+',
+                        help='input modalities (default: family preset)')
+    parser.add_argument('--comb', type=str, default=None,
+                        help="combination letters, e.g. VAL (V=image, "
+                             "A=acoustic, L=linguistic)")
+    parser.add_argument('--batch_size', type=int, default=25, metavar='N',
+                        help='input batch size for training (default: 25)')
+    parser.add_argument('--split', type=int, default=1, metavar='N')
+    parser.add_argument('--epochs', type=int, default=500, metavar='N',
+                        help='number of epochs to train (default: 500)')
+    parser.add_argument('--lr', type=float, default=1e-4, metavar='LR',
+                        help='learning rate (default: 1e-4)')
+    parser.add_argument('--sup_ratio', type=float, default=0.5, metavar='F')
+    parser.add_argument('--base_rate', type=float, default=2.0, metavar='N')
+    parser.add_argument('--log_freq', type=int, default=5, metavar='N')
+    parser.add_argument('--eval_freq', type=int, default=1, metavar='N')
+    parser.add_argument('--save_freq', type=int, default=10, metavar='N')
+    parser.add_argument('--device', type=str, default='tpu',
+                        help='accepted for surface compat; JAX picks devices')
+    parser.add_argument('--visualize', action='store_true', default=False)
+    parser.add_argument('--normalize', action='store_true', default=False)
+    parser.add_argument('--test', action='store_true', default=False,
+                        help='evaluate on test set')
+    parser.add_argument('--eval', action='store_true', default=False,
+                        help='evaluate on eval (Valid) set')
+    parser.add_argument('--perf', action='store_true', default=False,
+                        help='PerfSave sweep over saved checkpoints')
+    parser.add_argument('--load', type=str, default=None,
+                        help='path to trained model checkpoint')
+    parser.add_argument('--data_dir', type=str, default="../../../SENDv1-data")
+    parser.add_argument('--save_dir', type=str, default="./ModelSave")
+    parser.add_argument('--pred_save_dir', type=str, default="./PredSave")
+    parser.add_argument('--perf_save_dir', type=str, default="./PerfSave")
+    parser.add_argument('--model_save', type=str, default="./ModelSave/MFT",
+                        help='checkpoint dir for --perf sweeps')
+    parser.add_argument('--mask_mode', type=str, default="query",
+                        choices=["query", "key_query"])
+    parser.add_argument('--acoustic_dims', type=int, nargs='+',
+                        default=[88, 44],
+                        help='MFT acoustic window-embed sweep (default 88 44)')
+    parser.add_argument('--log_file', type=str, default="./train_cnn.log")
+    parser.add_argument('--synthetic_data', action='store_true', default=False,
+                        help='generate a synthetic mini-SENDv1 tree into '
+                             '--data_dir if it is missing')
+    return parser
+
+
+def main(args):
+    np.random.seed(1)
+    logger = get_logger(args.log_file)
+
+    if args.synthetic_data and not os.path.isdir(
+            os.path.join(args.data_dir, "features")):
+        from multimodal_transformer_tpu.data import generate_synthetic_send
+        print("Generating synthetic mini-SENDv1 into", args.data_dir)
+        generate_synthetic_send(args.data_dir,
+                                {"Train": 8, "Valid": 3, "Test": 3},
+                                duration_s=60.0)
+
+    if args.perf:
+        return perf_mode(args, logger)
+    if args.test or args.eval:
+        assert args.load, "--eval/--test require --load CKPT"
+        return eval_mode(args, logger)
+
+    family = args.family
+    if family == "MFT" and args.comb is None and args.modalities is None:
+        # the reference MFT main sweeps combs x acoustic dims
+        # (MFT/train.py:538-541)
+        best = -1.0
+        for a_dim in args.acoustic_dims:
+            for comb in ["VA", "AL", "VAL"]:
+                name = f"MFT-{comb}-{a_dim}.ckpt"
+                print("Running output as -", os.path.join(args.save_dir,
+                                                          "MFT"), name)
+                cfg = default_config("MFT", modalities_from_comb(comb),
+                                     acoustic_embed=a_dim,
+                                     mask_mode=args.mask_mode)
+                ckpt = os.path.join(args.save_dir, "MFT", name)
+                best = max(best, train_one(args, cfg, ckpt, logger))
+        return best
+
+    # fixed-combo training (SFT/B1/B2/B3 mains, or explicit --comb)
+    defaults = {"SFT": "VL", "B1-LSTM": "L", "B2-Trans": "VL",
+                "B3-MFN": "VAL", "MFT": "VAL"}
+    comb = args.comb or defaults[family]
+    mods = (tuple(args.modalities) if args.modalities
+            else modalities_from_comb(comb))
+    cfg = default_config(family, mods, mask_mode=args.mask_mode)
+    name = f"{family}-{comb_string(mods)}.ckpt"
+    ckpt = os.path.join(args.save_dir, family, name)
+    print("Running output as -", os.path.join(args.save_dir, family), name)
+    return train_one(args, cfg, ckpt, logger)
+
+
+if __name__ == "__main__":
+    main(build_arg_parser().parse_args())
