@@ -42,6 +42,12 @@ class ModelConfig:
     # "query" replicates the reference's row-only attention mask (bit-parity
     # at bs=1); "key_query" is padding-invariant for bucketed TPU eval.
     mask_mode: str = "query"
+    # B1-LSTM "legacy": the MFT-style MultiLSTM head (embed_dim=128,
+    # h_dim=256, Dropout(0.1) embed, no decoder dropout, no Highway ReLU) —
+    # the flavor of the surviving reference checkpoint
+    # ModelSave/B1-LSTM/B1-LSTM-L.pth (weights: embed Linear(300->128),
+    # decoder Linear(256->128)->Linear(128->1)).
+    variant: str = "default"
 
     @property
     def total_embed_size(self) -> int:
@@ -62,7 +68,8 @@ def modalities_from_comb(comb: str) -> Tuple[str, ...]:
 
 
 def default_config(family: str, modalities, acoustic_embed: int = 88,
-                   mask_mode: str = "query") -> ModelConfig:
+                   mask_mode: str = "query",
+                   variant: str = "default") -> ModelConfig:
     modalities = tuple(modalities)
     if family == "MFT":
         wes = {"linguistic": 300, "emotient": 20, "acoustic": acoustic_embed,
@@ -74,6 +81,12 @@ def default_config(family: str, modalities, acoustic_embed: int = 88,
                            dict(_COMMON_WINDOW_SIZE), dict(_SFT_WINDOW_EMBED),
                            mask_mode)
     if family == "B1-LSTM":
+        if variant == "legacy":
+            mod_dim = dict(_COMMON_MOD_DIMENSION)
+            window_size = dict(_COMMON_WINDOW_SIZE, ratings=5)
+            wes = dict(_SFT_WINDOW_EMBED)
+            return ModelConfig(family, modalities, mod_dim, window_size, wes,
+                               mask_mode, variant)
         mod_dim = dict(_COMMON_MOD_DIMENSION, linguistic=1024)
         window_size = dict(_COMMON_WINDOW_SIZE, ratings=5)
         wes = {"linguistic": 1024, "emotient": 20, "acoustic": 256,

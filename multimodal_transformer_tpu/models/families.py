@@ -127,16 +127,26 @@ def b1_lstm_init(key, cfg: ModelConfig):
     k_front, k_head = jax.random.split(key)
     params = frontend_init(k_front, mods, cfg.mod_dimension,
                            cfg.window_embed_size)
-    params["LSTM"] = multi_lstm_init(k_head, cfg.total_embed_size)
+    if cfg.variant == "legacy":
+        # MFT-style MultiLSTM defaults (reference MFT/models.py:151-176)
+        params["LSTM"] = multi_lstm_init(k_head, cfg.total_embed_size,
+                                         embed_dim=128, h_dim=256)
+    else:
+        params["LSTM"] = multi_lstm_init(k_head, cfg.total_embed_size)
     return params
 
 
 def b1_lstm_apply(params, cfg: ModelConfig, inputs, mask, rng=None):
     mods = cfg.modalities
     r_front, r_head = _split_rng(rng, 2)
-    outs = frontend_apply(params, inputs, mods, rng=r_front, relu_proj=True)
+    legacy = cfg.variant == "legacy"
+    outs = frontend_apply(params, inputs, mods, rng=r_front,
+                          relu_proj=not legacy)
     fused = (jnp.concatenate([outs[m] for m in mods], axis=2)
              if len(mods) > 1 else outs[mods[0]])
+    if legacy:
+        return multi_lstm_apply(params["LSTM"], fused, mask, rng=r_head,
+                                embed_dropout=0.1, decoder_dropout=0.0)
     return multi_lstm_apply(params["LSTM"], fused, mask, rng=r_head)
 
 
