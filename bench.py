@@ -47,7 +47,7 @@ def make_host_batch(cfg, seed=0):
     return data, mask
 
 
-def measure_tpu(n_warmup=2, n_iter=10):
+def measure_tpu(n_warmup=5, n_iter=50):
     import jax
     import jax.numpy as jnp
     from multimodal_transformer_tpu.models import build_model, default_config
@@ -110,7 +110,7 @@ def measure_cpu_baseline(n_iter=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure-baseline", action="store_true")
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=50)
     args = ap.parse_args()
 
     if args.measure_baseline or not os.path.exists(BASELINE_CACHE):

@@ -37,11 +37,21 @@ def frontend_apply(params, inputs, mods, *, rng=None, dropout_p: float = 0.3,
     """inputs: dict mod -> [B, W, F, D].  Returns dict mod -> [B, W, E_mod].
 
     relu_proj=True selects the B1 Highway variant (ReLU on the projection)."""
+    from ..ops.dispatch import pallas_enabled
+
     outputs = {}
     rngs = (jax.random.split(rng, len(mods)) if rng is not None
             else [None] * len(mods))
+    use_fused = rng is None and not relu_proj and pallas_enabled()
     for mod, mod_rng in zip(mods, rngs):
-        x = conv1d_window_embed(params[f"cnn_{mod}"]["conv1d"], inputs[mod])
-        x = highway(params[f"highway_{mod}"], x, relu_proj=relu_proj)
+        if use_fused and inputs[mod].shape[2] >= 2:
+            from ..ops.pallas.window_embed import fused_window_embed_highway
+            x = fused_window_embed_highway(params[f"cnn_{mod}"]["conv1d"],
+                                           params[f"highway_{mod}"],
+                                           inputs[mod])
+        else:
+            x = conv1d_window_embed(params[f"cnn_{mod}"]["conv1d"],
+                                    inputs[mod])
+            x = highway(params[f"highway_{mod}"], x, relu_proj=relu_proj)
         outputs[mod] = dropout(x, mod_rng, dropout_p)
     return outputs

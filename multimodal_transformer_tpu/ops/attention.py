@@ -59,6 +59,22 @@ def multi_head_attention(params, query, key, value, mask=None, *, h: int,
     k = proj(params["linears"][1], key)     # [B, h, Tk, d_k]
     v = proj(params["linears"][2], value)   # [B, h, Tk, d_k]
 
+    # Pallas flash path: inference, clean key-masked mode, TPU.  Padded query
+    # rows differ from the jnp path (uniform-vs-normal attention) but are
+    # masked out downstream by every model head.
+    from .dispatch import pallas_enabled
+    if (rng is None and mask is not None and mask_mode == "key_query"
+            and pallas_enabled()):
+        from .pallas.attention import flash_attention_masked
+        Tk = key.shape[1]
+        qf = q.reshape(B * h, Tq, d_k)
+        kf = k.reshape(B * h, Tk, d_k)
+        vf = v.reshape(B * h, Tk, d_k)
+        kmask = jnp.repeat(mask[:, :, 0], h, axis=0)  # [B*h, Tk]
+        xf = flash_attention_masked(qf, kf, vf, kmask)
+        x = xf.reshape(B, h, Tq, d_k).transpose(0, 2, 1, 3).reshape(B, Tq, D)
+        return linear(params["linears"][3], x)
+
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
         jnp.asarray(d_k, dtype=query.dtype))
     if mask is not None:
