@@ -129,6 +129,34 @@ def _read_table(path: str, fmt: str) -> pd.DataFrame:
     return pd.read_csv(path)  # csv and txt are comma-separated in SENDv1
 
 
+def _load_columns(path: str, spec: ChannelSpec, use_native: bool):
+    """Returns (features [T, D] float32, timer [T] float64).
+
+    Fast path: the native C++ parser (native/fastload.cpp) with label slicing
+    done on its header; falls back to pandas with the reference's df.loc
+    label-slice semantics."""
+    if use_native:
+        from . import native_loader
+        parsed = native_loader.parse_table(path, spec.fmt)
+        if parsed is not None:
+            arr, header = parsed
+            idx = {h: i for i, h in enumerate(header)}
+            if spec.col_start in idx:
+                start = idx[spec.col_start]
+                stop = idx.get(spec.col_stop, len(header) - 1)
+                feats = arr[:, start:stop + 1].astype(np.float32) * spec.scale
+                t = arr[:, idx[spec.timer_col]].astype(np.float64)
+                return feats, t
+    df = _read_table(path, spec.fmt)
+    stop = (spec.col_stop if spec.col_stop in df.columns else df.columns[-1])
+    feats = np.asarray(df.loc[:, spec.col_start:stop], dtype=np.float32)
+    if feats.ndim == 1:
+        feats = feats[:, None]
+    feats = feats * spec.scale
+    t = np.asarray(df.loc[:, spec.timer_col], dtype=np.float64).reshape(-1)
+    return feats, t
+
+
 def _discover(dir_path: str, regex: str) -> List[Tuple[Tuple[str, str], str]]:
     """Returns sorted [(seq_id, path)] for files matching the regex."""
     out = []
@@ -142,7 +170,8 @@ def _discover(dir_path: str, regex: str) -> List[Tuple[Tuple[str, str], str]]:
 
 
 def load_send(modalities: Sequence[str], base_dir: str, subset: str,
-              linguistic_variant: str = "glove") -> SendDataset:
+              linguistic_variant: str = "glove",
+              use_native: bool = True) -> SendDataset:
     """Load aligned SENDv1 sequences for the given modalities.
 
     modalities: subset of {linguistic, emotient, image, acoustic}; `ratings`
@@ -178,18 +207,7 @@ def load_send(modalities: Sequence[str], base_dir: str, subset: str,
         seq_len = None
         for m, spec in specs.items():
             path = discovered[m][i][1]
-            df = _read_table(path, spec.fmt)
-            # label slice col_start:col_stop inclusive, like the reference's
-            # df.loc preprocessors; if the stop label is absent (reduced-dim
-            # fixtures) take everything from col_start to the last column.
-            stop = (spec.col_stop if spec.col_stop in df.columns
-                    else df.columns[-1])
-            feats = np.asarray(
-                df.loc[:, spec.col_start:stop], dtype=np.float32)
-            if feats.ndim == 1:
-                feats = feats[:, None]
-            feats = feats * spec.scale
-            t = np.asarray(df.loc[:, spec.timer_col], dtype=np.float64).reshape(-1)
+            feats, t = _load_columns(path, spec, use_native)
             data[m].append(feats)
             timers[m].append(t)
             if spec.fmt == "tsv":

@@ -44,7 +44,20 @@ def window_channel(features: np.ndarray, times: np.ndarray,
                           posinf=np.inf, neginf=-np.inf)
     times = np.asarray(times, dtype=np.float64).reshape(-1)
     n = len(feats)
-    windows: List[np.ndarray] = []
+
+    # native fast path: O(T) C++ assignment (native/fastload.cpp)
+    from . import native_loader
+    assign = native_loader.window_assign(times, window_size)
+    if assign is not None:
+        starts, counts = assign
+        windows: List[np.ndarray] = []
+        for s, c in zip(starts, counts):
+            w = feats[s:s + c]
+            for _ in range(oversample):
+                windows.append(w)
+        return windows
+
+    windows = []
     current_time = 0.0
     start = 0
     i = 0
