@@ -40,3 +40,40 @@ def append_perf_save(path: str, model: str, combination: str,
 def seq_id_strings(seq_ids: Iterable) -> List[str]:
     """('123', '4') -> '123_4' (reference getSeqList, MFT/train.py:516-520)."""
     return [f"{a}_{b}" for a, b in seq_ids]
+
+
+def save_predictions(seq_ids, predictions, out_dir: str) -> None:
+    """Per-video rating CSVs: target_{subj}_{vid}_normal.csv with a 'rating'
+    column (reference save_predictions, MFT/train.py:317-321)."""
+    os.makedirs(out_dir, exist_ok=True)
+    for p, sid in zip(predictions, seq_ids):
+        fname = "target_{}_{}_normal.csv".format(*sid)
+        with open(os.path.join(out_dir, fname), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["rating"])
+            for v in p:
+                w.writerow([v])
+
+
+def save_params(path: str, *, model_name: str, args_dict: dict,
+                train_stats: dict, test_stats: dict,
+                extra: dict | None = None) -> None:
+    """Append a hyperparameter-history row to param_hist.tsv
+    (reference save_params, MFT/train.py:323-343)."""
+    cols = {}
+    for k in ("ccc", "ccc_std"):
+        cols[f"test_{k}"] = test_stats.get(k, float("nan"))
+    for k in ("ccc", "ccc_std"):
+        cols[f"train_{k}"] = train_stats.get(k, float("nan"))
+    cols["model"] = model_name
+    for k in ("modalities", "batch_size", "split", "epochs", "lr",
+              "sup_ratio", "base_rate"):
+        cols[k] = args_dict.get(k)
+    if extra:
+        cols.update(extra)
+    header_needed = not os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f, delimiter="\t")
+        if header_needed:
+            w.writerow(list(cols.keys()))
+        w.writerow([cols[k] for k in cols])

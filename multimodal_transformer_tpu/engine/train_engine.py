@@ -36,11 +36,13 @@ class Engine:
 
     def __init__(self, cfg: ModelConfig, lr: float = 1e-4,
                  weight_decay: float = 1e-4, seed: int = 1,
-                 mesh=None, logger=None):
+                 mesh=None, logger=None, nan_guard: bool = True):
+        from .guards import NanGuard
         self.cfg = cfg
         self.lr = lr
         self.mesh = mesh
         self.logger = logger
+        self.nan_guard = NanGuard() if nan_guard else None
         init_fn, apply_fn = build_model(cfg)
         self.apply_fn = apply_fn
         self.params = init_fn(jax.random.PRNGKey(seed))
@@ -106,6 +108,8 @@ class Engine:
                 self.params, self.opt_state, bd, bt, bm, denom,
                 jnp.asarray(self.scheduler.lr, jnp.float32), step_rng)
             loss_sum += float(batch_loss)
+            if self.nan_guard:
+                self.nan_guard.check(float(batch_loss), self.params)
             data_num += sum(batch.lengths)
             if self.logger:
                 self.logger.info('Batch: {:5d}\tLoss: {:2.5f}'.format(
@@ -181,3 +185,33 @@ class Engine:
 
     def scheduler_step(self, eval_loss: float) -> float:
         return self.scheduler.step(eval_loss)
+
+    # ------------------------------------------------------- resume-from-step
+
+    def save_state(self, path: str, best_ccc: float = -1.0) -> None:
+        """Persist full training state (params + Adam moments + scheduler +
+        epoch) for preemption-safe resume — a capability the reference lacks
+        (its --load flag is parsed but inert, SURVEY.md §5)."""
+        from .checkpoint import save_train_state
+        save_train_state(
+            path, params=self.params, opt_state=self.opt_state,
+            epoch=self._epoch,
+            scheduler_state={"lr": self.scheduler.lr,
+                             "best": self.scheduler.best,
+                             "num_bad": self.scheduler.num_bad},
+            best_ccc=best_ccc, modalities=self.cfg.modalities,
+            mod_dimension=self.cfg.mod_dimension,
+            window_size=self.cfg.window_size)
+
+    def restore_state(self, path: str) -> float:
+        """Restore from save_state.  Returns the recorded best CCC."""
+        from .checkpoint import load_train_state
+        st = load_train_state(path)
+        self.params = st["model"]
+        self.opt_state = st["opt_state"]
+        self._epoch = int(st["epoch"])
+        sch = st["scheduler"]
+        self.scheduler.lr = float(sch["lr"])
+        self.scheduler.best = float(sch["best"])
+        self.scheduler.num_bad = int(sch["num_bad"])
+        return float(st["best_ccc"])

@@ -1,0 +1,102 @@
+"""Aux-subsystem tests: NaN guards, step timer, plots, artifact writers,
+resume-from-step."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multimodal_transformer_tpu.engine.guards import (NanGuard,
+                                                      NonFiniteError,
+                                                      assert_finite_tree)
+from multimodal_transformer_tpu.engine.profiling import StepTimer
+from multimodal_transformer_tpu.engine.csv_io import (save_params,
+                                                      save_predictions)
+from multimodal_transformer_tpu.engine.plots import plot_eval, plot_predictions
+from multimodal_transformer_tpu.engine import Engine
+from multimodal_transformer_tpu.models import default_config
+
+SMALL_DIMS = {"linguistic": 10, "acoustic": 8, "image": 10, "emotient": 6}
+
+
+def test_nan_guard_raises_on_bad_loss():
+    g = NanGuard()
+    g.check(1.0)
+    with pytest.raises(NonFiniteError):
+        g.check(float("nan"))
+
+
+def test_assert_finite_tree_reports_path():
+    tree = {"a": jnp.ones(3), "b": {"c": jnp.asarray([1.0, np.inf])}}
+    with pytest.raises(NonFiniteError) as e:
+        assert_finite_tree(tree, "params")
+    assert "b" in str(e.value) and "c" in str(e.value)
+
+
+def test_step_timer_summary():
+    t = StepTimer()
+    for _ in range(3):
+        with t:
+            pass
+    s = t.summary()
+    assert s["n"] == 3 and s["mean_ms"] >= 0
+
+
+def test_plots_write_files(tmp_path):
+    rs = np.random.RandomState(0)
+    actuals = [rs.rand(30).tolist() for _ in range(10)]
+    preds = [rs.rand(30).tolist() for _ in range(10)]
+    metric = rs.rand(10).tolist()
+    p1 = tmp_path / "fits.png"
+    plot_predictions(actuals, preds, metric, str(p1))
+    assert p1.exists() and p1.stat().st_size > 0
+    p2 = tmp_path / "eval.png"
+    plot_eval(preds, metric, actuals, [f"v{i}" for i in range(10)], str(p2))
+    assert p2.exists() and p2.stat().st_size > 0
+
+
+def test_save_predictions_and_params(tmp_path):
+    seq_ids = [("101", "2"), ("103", "5")]
+    preds = [[0.1, 0.2], [0.3]]
+    save_predictions(seq_ids, preds, str(tmp_path))
+    f = tmp_path / "target_101_2_normal.csv"
+    assert f.read_text().splitlines() == ["rating", "0.1", "0.2"]
+    ph = tmp_path / "param_hist.tsv"
+    save_params(str(ph), model_name="MFT",
+                args_dict={"modalities": ["a"], "batch_size": 25, "split": 1,
+                           "epochs": 2, "lr": 1e-4, "sup_ratio": 0.5,
+                           "base_rate": 2.0},
+                train_stats={"ccc": 0.5, "ccc_std": 0.1},
+                test_stats={"ccc": 0.4, "ccc_std": 0.2})
+    save_params(str(ph), model_name="SFT", args_dict={},
+                train_stats={}, test_stats={})
+    lines = ph.read_text().splitlines()
+    assert len(lines) == 3  # header + 2 rows
+
+
+def test_engine_resume_roundtrip(tmp_path):
+    cfg = default_config("B2-Trans", ("acoustic",))
+    object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
+    eng = Engine(cfg, seed=1)
+    rs = np.random.RandomState(0)
+    x = {"acoustic": rs.randn(4, 6, 3, SMALL_DIMS["acoustic"])
+         .astype(np.float32)}
+    y = rs.rand(4, 6).astype(np.float32)
+    lens = [6, 6, 5, 4]
+    eng.train_epoch(x, y, lens, batch_size=2, rng=np.random.RandomState(1))
+    path = str(tmp_path / "b2.state")
+    eng.save_state(path, best_ccc=0.25)
+    eng2 = Engine(cfg, seed=42)
+    best = eng2.restore_state(path)
+    assert best == pytest.approx(0.25)
+    assert eng2._epoch == 1
+    import jax
+    for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(eng.params),
+                                jax.tree_util.tree_leaves_with_path(eng2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(ka))
+    # resumed engine can keep training
+    eng2.train_epoch(x, y, lens, batch_size=2, rng=np.random.RandomState(2))
+    assert eng2._epoch == 2

@@ -58,7 +58,14 @@ def train_one(args, cfg, ckpt_path, logger):
     eng = Engine(cfg, lr=args.lr, seed=1, logger=logger)
     rng = np.random.RandomState(1)
     best_ccc, single_best_ccc = -1.0, -1.0
-    for epoch in range(1, args.epochs + 1):
+    state_path = ckpt_path + ".state"
+    start_epoch = 1
+    if args.resume and os.path.exists(state_path):
+        best_ccc = eng.restore_state(state_path)
+        start_epoch = eng._epoch + 1
+        logger.info('Resumed from {} at epoch {} (best CCC {:0.6f})'.format(
+            state_path, start_epoch, best_ccc))
+    for epoch in range(start_epoch, args.epochs + 1):
         print("---")
         eng.train_epoch(tr_x, tr_y, tr_l, batch_size=args.batch_size, rng=rng)
         if epoch % args.eval_freq == 0:
@@ -79,6 +86,8 @@ def train_one(args, cfg, ckpt_path, logger):
                 logger.info('===end single_max_predict===')
             logger.info('CCC_STATS\tSINGLE_BEST: {:0.9f}\tBEST: {:0.9f}'.format(
                 single_best_ccc, best_ccc))
+        if epoch % args.save_freq == 0:
+            eng.save_state(state_path, best_ccc)
     return best_ccc
 
 
@@ -190,6 +199,9 @@ def build_arg_parser():
                         help='PerfSave sweep over saved checkpoints')
     parser.add_argument('--load', type=str, default=None,
                         help='path to trained model checkpoint')
+    parser.add_argument('--resume', action='store_true', default=False,
+                        help='resume training from the saved .state file '
+                             '(written every --save_freq epochs)')
     parser.add_argument('--data_dir', type=str, default="../../../SENDv1-data")
     parser.add_argument('--save_dir', type=str, default="./ModelSave")
     parser.add_argument('--pred_save_dir', type=str, default="./PredSave")
