@@ -92,8 +92,12 @@ def generate_synthetic_send(base_dir: str, subsets: Dict[str, int],
 
             for m in modalities:
                 ts = np.arange(0.0, dur, 1.0 / rates[m])
-                feats = rs.randn(len(ts), dims[m]).astype(np.float32) * 0.5
-                feats[:, 0] += latent_at(ts).astype(np.float32) * 2.0
+                feats = rs.randn(len(ts), dims[m]).astype(np.float32) * 0.3
+                # inject the latent into the first few dims strongly enough to
+                # survive the CNN+maxpool front-end — the fixture must be
+                # learnable for end-to-end train smoke tests
+                k = max(1, dims[m] // 4)
+                feats[:, :k] += latent_at(ts).astype(np.float32)[:, None] * 2.0
                 if m == "linguistic":
                     prefix = "bert" if linguistic_variant == "bert" else "glove"
                     header = ["time-offset"] + [f"{prefix}{i}"
