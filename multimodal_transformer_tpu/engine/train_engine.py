@@ -43,6 +43,13 @@ class Engine:
         self.mesh = mesh
         self.logger = logger
         self.nan_guard = NanGuard() if nan_guard else None
+        # Data-parallel layout when a mesh is provided: params/opt replicated,
+        # batches sharded on the leading axis (parallel/mesh.py).
+        self._repl = self._bsh = None
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+            self._repl = replicated(mesh)
+            self._bsh = batch_sharding(mesh)
         init_fn, apply_fn = build_model(cfg)
         self.apply_fn = apply_fn
         self.params = init_fn(jax.random.PRNGKey(seed))
@@ -65,12 +72,22 @@ class Engine:
                                             weight_decay=weight_decay)
             return params, opt_state, batch_loss
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
-
-        def eval_step(params, data, mask):
-            return apply_fn(params, data, mask, rng=None)
-
-        self._eval_step = jax.jit(eval_step)
+        if self._repl is not None:
+            self.params = jax.device_put(self.params, self._repl)
+            self.opt_state = jax.device_put(self.opt_state, self._repl)
+            r, b = self._repl, self._bsh
+            data_sh = lambda: {m: b for m in cfg.modalities}
+            self._train_step = jax.jit(
+                train_step, donate_argnums=(0, 1),
+                in_shardings=(r, r, data_sh(), b, b, r, r, r),
+                out_shardings=(r, r, r))
+            self._eval_step = jax.jit(
+                lambda p, d, m: apply_fn(p, d, m, rng=None),
+                in_shardings=(r, data_sh(), b), out_shardings=b)
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._eval_step = jax.jit(
+                lambda p, d, m: apply_fn(p, d, m, rng=None))
 
         def eval_batched_step(params, data, target, mask):
             pred = apply_fn(params, data, mask, rng=None)
@@ -79,11 +96,25 @@ class Engine:
             cccs = ccc_masked(target[..., 0], pred[..., 0], mask[..., 0])
             return pred, loss, cccs
 
-        self._eval_batched_step = jax.jit(eval_batched_step)
+        if self._repl is not None:
+            r, b = self._repl, self._bsh
+            self._eval_batched_step = jax.jit(
+                eval_batched_step,
+                in_shardings=(r, {m: b for m in cfg.modalities}, b, b),
+                out_shardings=(b, r, b))
+        else:
+            self._eval_batched_step = jax.jit(eval_batched_step)
 
     # ------------------------------------------------------------------ train
 
     def _device_batch(self, batch: Batch):
+        if self._bsh is not None:
+            from ..parallel.mesh import pad_batch_rows
+            n = self.mesh.devices.size
+            put = lambda a: jax.device_put(pad_batch_rows(np.asarray(a), n),
+                                           self._bsh)
+            data = {m: put(v) for m, v in batch.data.items()}
+            return data, put(batch.target), put(batch.mask)
         data = {m: jnp.asarray(v) for m, v in batch.data.items()}
         return data, jnp.asarray(batch.target), jnp.asarray(batch.mask)
 
@@ -137,10 +168,12 @@ class Engine:
                                   shuffle=False):
             bd, bt, bm = self._device_batch(batch)
             out = self._eval_step(self.params, bd, bm)
-            d = np.asarray(out - bt)
+            nb = len(batch.lengths)  # drop mesh-padding rows, if any
+            out = np.asarray(out)[:nb]
+            d = out - batch.target
             loss_sum += float((d * d).sum())
             data_num += sum(batch.lengths)
-            o = np.asarray(out).reshape(-1)
+            o = out.reshape(-1)
             t = batch.target.reshape(-1)
             preds.append(o.tolist())
             actuals.append(t.tolist())

@@ -104,3 +104,31 @@ def test_pad_batch_rows():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_engine_with_mesh_matches_single_device():
+    """Engine(mesh=...) must reproduce single-device training + eval."""
+    from multimodal_transformer_tpu.engine import Engine
+
+    cfg = default_config("B2-Trans", ("acoustic", "linguistic"))
+    object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
+    rs = np.random.RandomState(0)
+    V, T, Fr = 6, 8, 3
+    x = {m: rs.randn(V, T, Fr, SMALL_DIMS[m]).astype(np.float32)
+         for m in cfg.modalities}
+    y = rs.rand(V, T).astype(np.float32)
+    lens = [8, 8, 7, 6, 8, 5]
+
+    eng1 = Engine(cfg, lr=1e-3, seed=3, nan_guard=False)
+    eng8 = Engine(cfg, lr=1e-3, seed=3, mesh=make_mesh(4), nan_guard=False)
+    for eng in (eng1, eng8):
+        eng.train_epoch(x, y, lens, batch_size=4,
+                        rng=np.random.RandomState(9),
+                        jax_rng=jax.random.PRNGKey(5))
+    c1, _, _, l1, s1, _ = eng1.evaluate_per_video(x, y, lens)
+    c8, _, _, l8, s8, _ = eng8.evaluate_per_video(x, y, lens)
+    np.testing.assert_allclose(c1, c8, rtol=1e-3, atol=1e-4)
+    assert l1 == pytest.approx(l8, rel=1e-3)
+    cb, lb, sb = eng8.evaluate_batched(x, y, lens, batch_size=4,
+                                       time_multiple=4)
+    assert len(cb) == V
