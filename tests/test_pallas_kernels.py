@@ -121,3 +121,26 @@ def test_mha_dispatch_uses_flash_and_matches(monkeypatch):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got)[1, :6],
                                np.asarray(want)[1, :6], rtol=1e-4, atol=1e-5)
+
+
+def test_mfn_full_recurrence_kernel_matches_scan():
+    """The single-kernel MFN recurrence (interpret mode) must match the
+    lax.scan reference path exactly."""
+    from multimodal_transformer_tpu.ops.mfn_core import mfn_init, mfn_scan
+    from multimodal_transformer_tpu.ops.pallas.mfn_kernel import (
+        mfn_scan_pallas)
+    from multimodal_transformer_tpu.ops.basic import linear as lin
+
+    mods = ["linguistic", "acoustic"]
+    dims = {"linguistic": 24, "acoustic": 16}
+    p = mfn_init(jax.random.PRNGKey(9), mods, dims, 1)
+    rs = np.random.RandomState(9)
+    B, T = 3, 7
+    inputs = {m: jnp.asarray(rs.randn(B, T, dims[m]).astype(np.float32))
+              for m in mods}
+    hs, mems = mfn_scan_pallas(p, inputs, mods, interpret=True)
+    feats = jnp.concatenate([hs, mems], axis=2)
+    got = lin(p["out_fc2"], jax.nn.relu(lin(p["out_fc1"], feats)))
+    want = mfn_scan(p, inputs, mods)  # jnp scan path (pallas MFN is opt-in)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-6)
