@@ -116,6 +116,20 @@ def eval_mode(args, logger):
         out_name = f"{family}{vid}"
         write_pred_save(os.path.join(args.pred_save_dir, out_name + ".csv"),
                         preds[i], actuals[i])
+    if args.visualize:
+        # top-10 fits, like the reference's (commented) plot_eval path
+        from multimodal_transformer_tpu.engine.plots import (plot_eval,
+                                                             plot_predictions)
+        order = np.argsort(cccs)[::-1][:10]
+        os.makedirs(args.pred_save_dir, exist_ok=True)
+        plot_eval([preds[i] for i in order], [cccs[i] for i in order],
+                  [actuals[i] for i in order], [seq_ids[i] for i in order],
+                  os.path.join(args.pred_save_dir,
+                               f"{family}_{eval_dir}_eval.png"),
+                  window_size=cfg.window_size["ratings"])
+        plot_predictions(actuals, preds, cccs,
+                         os.path.join(args.pred_save_dir,
+                                      f"{family}_{eval_dir}_fits.png"))
     return stats
 
 
@@ -262,7 +276,9 @@ def main(args):
     mods = (tuple(args.modalities) if args.modalities
             else modalities_from_comb(comb))
     cfg = default_config(family, mods, mask_mode=args.mask_mode)
-    name = f"{family}-{comb_string(mods)}.ckpt"
+    # keep the user's comb spelling in the filename (reference names are
+    # comb-as-typed, e.g. SFT-VL.pth, MFT-VAL-88.pth)
+    name = f"{family}-{comb if args.comb else comb_string(mods)}.ckpt"
     ckpt = os.path.join(args.save_dir, family, name)
     print("Running output as -", os.path.join(args.save_dir, family), name)
     return train_one(args, cfg, ckpt, logger)
