@@ -29,6 +29,7 @@ class Batch:
     target: np.ndarray            # [B, T, 1]
     mask: np.ndarray              # [B, T, 1]
     lengths: List[int]            # descending
+    indices: Optional[List[int]] = None  # original video indices
 
 
 def _round_up(x: int, m: int) -> int:
@@ -75,7 +76,7 @@ def make_batches(data: Dict[str, np.ndarray], target: np.ndarray,
         mask = np.zeros((len(chunk), t_max, 1), dtype=np.float32)
         for bi, ln in enumerate(lens):
             mask[bi, :ln] = 1.0
-        yield Batch(batch_data, tgt, mask, lens)
+        yield Batch(batch_data, tgt, mask, lens, list(chunk))
 
 
 # -------------------------------------------------------- collate utilities
@@ -139,4 +140,4 @@ def bucketed_eval_batches(data: Dict[str, np.ndarray], target: np.ndarray,
             mask = np.zeros((len(chunk), bound, 1), dtype=np.float32)
             for bi, ln in enumerate(lens):
                 mask[bi, :ln] = 1.0
-            yield Batch(batch_data, tgt, mask, lens)
+            yield Batch(batch_data, tgt, mask, lens, list(chunk))

@@ -202,7 +202,8 @@ class Engine:
         Per-video CCC computed on device; a handful of XLA programs total.
         Exact iff cfg.mask_mode == 'key_query' (padding-invariant attention).
         """
-        cccs: List[float] = []
+        n_videos = target.shape[0]
+        cccs = np.zeros(n_videos)
         loss_sum, data_num = 0.0, 0
         for batch in bucketed_eval_batches(data, target, seq_lens,
                                            batch_size=batch_size,
@@ -211,7 +212,9 @@ class Engine:
             _, loss, c = self._eval_batched_step(self.params, bd, bt, bm)
             loss_sum += float(loss)
             data_num += sum(batch.lengths)
-            cccs.extend(np.asarray(c)[:len(batch.lengths)].tolist())
+            # buckets reorder videos; place CCCs back by original index
+            cccs[batch.indices] = np.asarray(c)[:len(batch.lengths)]
+        cccs = cccs.tolist()
         stats = {"ccc": float(np.mean(cccs)), "ccc_std": float(np.std(cccs)),
                  "max_ccc": float(np.max(cccs))}
         return cccs, loss_sum / max(data_num, 1), stats

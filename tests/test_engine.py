@@ -112,7 +112,6 @@ def test_batched_eval_matches_per_video_in_clean_mask_mode(fixture):
     cccs_fast, _, stats_fast = eng.evaluate_batched(va_x, va_y, va_l,
                                                     batch_size=2,
                                                     time_multiple=8)
-    # bucketing changes video order within buckets; compare as sorted sets
-    np.testing.assert_allclose(sorted(cccs_ref), sorted(cccs_fast),
-                               rtol=1e-3, atol=1e-4)
+    # batched eval places per-video CCCs back in original video order
+    np.testing.assert_allclose(cccs_ref, cccs_fast, rtol=1e-3, atol=1e-4)
     assert stats_fast["ccc"] == pytest.approx(stats_ref["ccc"], rel=1e-3)

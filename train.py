@@ -96,8 +96,8 @@ def eval_mode(args, logger):
     print("evaluating on the " + eval_dir + " Set.")
     ck = load_checkpoint(args.load)
     family = args.family
-    cfg = default_config(family, ck["modalities"],
-                         mask_mode=args.mask_mode)
+    mask_mode = "key_query" if args.fast_eval else args.mask_mode
+    cfg = default_config(family, ck["modalities"], mask_mode=mask_mode)
     object.__setattr__(cfg, "mod_dimension",
                        {k: int(v) for k, v in ck["mod_dimension"].items()})
     object.__setattr__(cfg, "window_size",
@@ -106,10 +106,18 @@ def eval_mode(args, logger):
     ds, x, y, lens = prepare_data(cfg, args.data_dir, eval_dir, lvar)
     eng = Engine(cfg, logger=logger)
     eng.params = ck["model"]
-    cccs, preds, actuals, _, stats, _ = eng.evaluate_per_video(x, y, lens)
+    if args.fast_eval:
+        # bucketed static-shape eval: a handful of XLA programs instead of
+        # one per video length; requires the padding-invariant mask mode
+        cccs, _, stats = eng.evaluate_batched(x, y, lens)
+        preds = actuals = None
+    else:
+        cccs, preds, actuals, _, stats, _ = eng.evaluate_per_video(x, y, lens)
     logger.info('Evaluation\tCCC(std): {:2.5f}({:2.5f})'.format(
         stats["ccc"], stats["ccc_std"]))
     seq_ids = seq_id_strings(ds.seq_ids)
+    if preds is None:
+        return stats  # fast path has no per-timestep traces to dump
     vid = PRED_SAVE_VIDEO[eval_dir]
     if vid in seq_ids:
         i = seq_ids.index(vid)
@@ -157,9 +165,10 @@ def perf_mode(args, logger):
             for eval_dir in ["Train", "Valid", "Test"]:
                 print(f"Evaluating {model_str} with {mod_str} performances "
                       f"on {eval_dir}")
-                cfg = default_config(family, ck["modalities"],
-                                     acoustic_embed=acoustic_dim,
-                                     mask_mode=args.mask_mode)
+                cfg = default_config(
+                    family, ck["modalities"], acoustic_embed=acoustic_dim,
+                    mask_mode=("key_query" if args.fast_eval
+                               else args.mask_mode))
                 object.__setattr__(cfg, "mod_dimension",
                                    {k: int(v) for k, v in
                                     ck["mod_dimension"].items()})
@@ -171,7 +180,11 @@ def perf_mode(args, logger):
                                               lvar)
                 eng = Engine(cfg, logger=logger)
                 eng.params = ck["model"]
-                cccs, _, _, _, stats, _ = eng.evaluate_per_video(x, y, lens)
+                if args.fast_eval:
+                    cccs, _, stats = eng.evaluate_batched(x, y, lens)
+                else:
+                    cccs, _, _, _, stats, _ = eng.evaluate_per_video(
+                        x, y, lens)
                 logger.info('Evaluation\tCCC(std): {:2.5f}({:2.5f})'.format(
                     stats["ccc"], stats["ccc_std"]))
                 append_perf_save(
@@ -224,6 +237,10 @@ def build_arg_parser():
                         help='checkpoint dir for --perf sweeps')
     parser.add_argument('--mask_mode', type=str, default="query",
                         choices=["query", "key_query"])
+    parser.add_argument('--fast_eval', action='store_true', default=False,
+                        help='bucketed static-shape batched eval (few XLA '
+                             'programs instead of one per video length; '
+                             'forces key_query mask mode)')
     parser.add_argument('--acoustic_dims', type=int, nargs='+',
                         default=[88, 44],
                         help='MFT acoustic window-embed sweep (default 88 44)')
@@ -246,10 +263,18 @@ def main(args):
                                 {"Train": 8, "Valid": 3, "Test": 3},
                                 duration_s=60.0)
 
+    from multimodal_transformer_tpu.models import FAMILIES
+    if args.family not in FAMILIES:
+        sys.exit(f"error: unknown --family {args.family!r}; "
+                 f"expected one of {', '.join(FAMILIES)}")
+
     if args.perf:
         return perf_mode(args, logger)
     if args.test or args.eval:
-        assert args.load, "--eval/--test require --load CKPT"
+        if not args.load:
+            sys.exit("error: --eval/--test require --load CKPT")
+        if not os.path.exists(args.load):
+            sys.exit(f"error: checkpoint not found: {args.load}")
         return eval_mode(args, logger)
 
     family = args.family
