@@ -58,7 +58,15 @@ def generate_synthetic_send(base_dir: str, subsets: Dict[str, int],
     if dims is None:
         dims = {"linguistic": 1024 if linguistic_variant == "bert" else 300,
                 "emotient": 20, "image": 1000, "acoustic": 88}
-    rs = np.random.RandomState(seed)
+
+    # Per-(subset, video[, channel]) derived RNGs so that regenerating any
+    # modality subset (e.g. adding the BERT linguistic tree later) reproduces
+    # identical durations, latents, timers, and ratings.
+    import zlib
+
+    def _rs(*key):
+        h = zlib.crc32(repr((seed,) + key).encode())  # process-stable
+        return np.random.RandomState(h & 0x7FFFFFFF)
 
     rates = {"linguistic": 0.55, "emotient": 10.0, "image": 1.7,
              "acoustic": 2.0, "ratings": 2.0}
@@ -81,18 +89,20 @@ def generate_synthetic_send(base_dir: str, subsets: Dict[str, int],
 
         for v in range(n_videos):
             sid, vid = 100 + v, 1 + (v % 8)
-            dur = duration_s * (0.75 + 0.5 * rs.rand())
+            rs_v = _rs(subset, v, "latent")
+            dur = duration_s * (0.75 + 0.5 * rs_v.rand())
             # latent valence signal: smooth random walk in [0, 1]
             t_lat = np.arange(0.0, dur, 0.25)
-            walk = np.cumsum(rs.randn(len(t_lat))) * 0.05
+            walk = np.cumsum(rs_v.randn(len(t_lat))) * 0.05
             walk = 0.5 + 0.4 * np.tanh(walk - walk.mean())
 
             def latent_at(ts):
                 return np.interp(ts, t_lat, walk)
 
             for m in modalities:
+                rs_m = _rs(subset, v, m)
                 ts = np.arange(0.0, dur, 1.0 / rates[m])
-                feats = rs.randn(len(ts), dims[m]).astype(np.float32) * 0.3
+                feats = rs_m.randn(len(ts), dims[m]).astype(np.float32) * 0.3
                 # inject the latent into the first few dims strongly enough to
                 # survive the CNN+maxpool front-end — the fixture must be
                 # learnable for end-to-end train smoke tests
@@ -112,7 +122,7 @@ def generate_synthetic_send(base_dir: str, subsets: Dict[str, int],
                         "emotient fixture requires dim 20"
                     header = ["Frametime"] + AU_NAMES
                     # sprinkle NaNs: the reference scrubs them (train.py:377-384)
-                    feats[rs.rand(*feats.shape) < 0.01] = np.nan
+                    feats[rs_m.rand(*feats.shape) < 0.01] = np.nan
                     rows = [[float(ts[i])] + feats[i].tolist()
                             for i in range(len(ts))]
                     _write_table(os.path.join(
@@ -135,7 +145,9 @@ def generate_synthetic_send(base_dir: str, subsets: Dict[str, int],
                         header, rows)
 
             ts = np.arange(0.0, dur, 1.0 / rates["ratings"])
-            ewe = np.clip(latent_at(ts) + rs.randn(len(ts)) * 0.02, 0, 1) * 100
+            ewe = np.clip(latent_at(ts)
+                          + _rs(subset, v, "ratings").randn(len(ts)) * 0.02,
+                          0, 1) * 100
             _write_table(os.path.join(paths["ratings"],
                                       f"results_{sid}_{vid}.csv"),
                          ["time", "evaluatorWeightedEstimate"],

@@ -259,9 +259,12 @@ def main(args):
             os.path.join(args.data_dir, "features")):
         from multimodal_transformer_tpu.data import generate_synthetic_send
         print("Generating synthetic mini-SENDv1 into", args.data_dir)
-        generate_synthetic_send(args.data_dir,
-                                {"Train": 8, "Valid": 3, "Test": 3},
-                                duration_s=60.0)
+        subsets = {"Train": 8, "Valid": 3, "Test": 3}
+        generate_synthetic_send(args.data_dir, subsets, duration_s=60.0)
+        # B1-LSTM reads BERT-1024 linguistic features from a sibling dir
+        generate_synthetic_send(args.data_dir, subsets, duration_s=60.0,
+                                modalities=("linguistic",),
+                                linguistic_variant="bert")
 
     from multimodal_transformer_tpu.models import FAMILIES
     if args.family not in FAMILIES:
