@@ -122,17 +122,25 @@ class Engine:
                     seq_lens: List[int], *, batch_size: int = 25,
                     rng: Optional[np.random.RandomState] = None,
                     jax_rng: Optional[jax.Array] = None,
-                    pad_time_to: Optional[int] = None) -> float:
+                    pad_time_to: Optional[int] = None,
+                    prefetch: int = 2) -> float:
         """One epoch over reference-semantics batches.  Returns mean loss per
-        timepoint (the reference's epoch loss, train.py:152-154)."""
+        timepoint (the reference's epoch loss, train.py:152-154).
+
+        Batches are staged onto the device `prefetch` ahead by a background
+        thread (data/prefetch.py), overlapping host padding + H2D transfer
+        with device compute."""
+        from ..data.prefetch import DevicePrefetcher
+
         self._epoch += 1
         if jax_rng is None:
             jax_rng = jax.random.PRNGKey(self._epoch)
         loss_sum, data_num, batch_num = 0.0, 0, 0
-        for batch in make_batches(data, target, seq_lens,
-                                  batch_size=batch_size, shuffle=True,
-                                  rng=rng, pad_time_to=pad_time_to):
-            bd, bt, bm = self._device_batch(batch)
+        batches = make_batches(data, target, seq_lens,
+                               batch_size=batch_size, shuffle=True,
+                               rng=rng, pad_time_to=pad_time_to)
+        for batch, (bd, bt, bm) in DevicePrefetcher(
+                batches, self._device_batch, depth=prefetch):
             denom = jnp.asarray(float(sum(batch.lengths)))
             step_rng = jax.random.fold_in(jax_rng, batch_num)
             self.params, self.opt_state, batch_loss = self._train_step(

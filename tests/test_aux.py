@@ -100,3 +100,29 @@ def test_engine_resume_roundtrip(tmp_path):
     # resumed engine can keep training
     eng2.train_epoch(x, y, lens, batch_size=2, rng=np.random.RandomState(2))
     assert eng2._epoch == 2
+
+
+def test_device_prefetcher_yields_all_and_propagates_errors():
+    import jax.numpy as jnp
+    from multimodal_transformer_tpu.data.prefetch import DevicePrefetcher
+    from multimodal_transformer_tpu.data.batching import Batch
+
+    def mk(i):
+        t = np.full((1, 2, 1), float(i), np.float32)
+        return Batch({"a": t}, t, np.ones_like(t), [2], [i])
+
+    batches = [mk(i) for i in range(5)]
+    put = lambda b: jnp.asarray(b.target)
+    seen = [(b.indices[0], float(np.asarray(d)[0, 0, 0]))
+            for b, d in DevicePrefetcher(iter(batches), put, depth=2)]
+    assert seen == [(i, float(i)) for i in range(5)]
+
+    def boom():
+        yield mk(0)
+        raise RuntimeError("worker died")
+
+    it = iter(DevicePrefetcher(boom(), put, depth=1))
+    next(it)
+    with pytest.raises(RuntimeError, match="worker died"):
+        for _ in it:
+            pass
