@@ -219,3 +219,41 @@ def load_send(modalities: Sequence[str], base_dir: str, subset: str,
         lengths.append(seq_len)
 
     return SendDataset(tuple(mods), seq_ids, data, timers, lengths)
+
+
+if __name__ == "__main__":
+    # Executable smoke test, mirroring the reference's
+    # `python datasets.py --dir --subset` (reference MFT/datasets.py:299-326):
+    # load the dataset, collate a 10-item batch, print shapes, and scan for
+    # cross-modality length mismatches.
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--dir', type=str, default="../data",
+                        help='data directory')
+    parser.add_argument('--subset', type=str, default="Train",
+                        help='whether to load Train/Valid/Test data')
+    args = parser.parse_args()
+
+    print("Loading data...")
+    modalities = ['acoustic', 'linguistic', 'emotient', 'ratings']
+    dataset = load_send(modalities, args.dir, args.subset)
+    print("Testing batch collation...")
+    from .batching import seq_collate_dict
+    items = [{m: dataset.data[m][i] for m in dataset.modalities}
+             | {"length": dataset.lengths[i]}
+             for i in range(min(10, len(dataset)))]
+    batch, mask, lengths = seq_collate_dict(items)
+    print("Batch shapes:")
+    for m, b in batch.items():
+        print(m, b.shape)
+    print("Sequence lengths: ", lengths)
+    print("Checking through data for mismatched sequence lengths...")
+    for i in range(len(dataset)):
+        print("Subject, Video: ", dataset.seq_ids[i])
+        shapes = [dataset.data[m][i].shape for m in modalities]
+        print(*shapes)
+        n_ratings = len(dataset.data['ratings'][i])
+        if not all(len(dataset.data[m][i]) == n_ratings
+                   for m in modalities[:-1]):
+            print("WARNING: Mismatched sequence lengths.")

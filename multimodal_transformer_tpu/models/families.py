@@ -228,3 +228,46 @@ def build_model(cfg: ModelConfig):
         return apply_fn(params, cfg, inputs, mask, rng=rng)
 
     return init, apply
+
+
+if __name__ == "__main__":
+    # Executable smoke test, the analog of the reference's
+    # `python models.py --dir --subset` (reference MFT/models.py:402-428,
+    # which instantiates an AR-LSTM and prints one video's valences; the
+    # reference version passes a dict where a tensor is expected and has
+    # bitrotted — this one runs the windowed pipeline end to end).
+    import argparse
+
+    import numpy as np
+
+    # smoke runs eagerly (unjitted); keep it off any remote accelerator
+    jax.config.update("jax_platforms", "cpu")
+
+    from ..data import load_send, window_pipeline
+    from .config import default_config
+    from .legacy_lstm import multi_ar_lstm_apply, multi_ar_lstm_init
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--dir', type=str, default="../data")
+    parser.add_argument('--subset', type=str, default="Train")
+    args = parser.parse_args()
+
+    print("Loading data...")
+    cfg = default_config("B3-MFN", ("acoustic", "emotient"))
+    dataset = load_send(list(cfg.modalities), args.dir, args.subset)
+    padded, targets, seq_lens = window_pipeline(
+        dataset, cfg.window_size, cfg.modalities, cfg.mod_dimension)
+    print("Building model...")
+    import jax
+    import jax.numpy as jnp
+    total = sum(cfg.mod_dimension[m] for m in cfg.modalities)
+    params = multi_ar_lstm_init(jax.random.PRNGKey(0), total)
+    print("Passing a sample through the model...")
+    x = jnp.concatenate(
+        [jnp.asarray(padded[m][:1, :, 0, :]) for m in cfg.modalities],
+        axis=2)  # first frame per window, first video
+    mask = jnp.ones((1, x.shape[1], 1), jnp.float32)
+    out = np.asarray(multi_ar_lstm_apply(params, x, mask)).reshape(-1)
+    print("Predicted valences:")
+    for o in out:
+        print("{:+0.3f}".format(float(o)))
