@@ -58,6 +58,15 @@ def measure_tpu(n_warmup=5, n_iter=50):
     data_np, mask_np = make_host_batch(cfg)
     data = {m: jnp.asarray(v) for m, v in data_np.items()}
     mask = jnp.asarray(mask_np)
+    if os.environ.get("MMTX_BF16", "1") != "0":
+        # bf16 serving mode is the default production eval config
+        # (~1.7-2x on v5e; |output diff| ~1e-3, CCC within 0.05 abs —
+        # tests/test_engine.py::test_bf16_batched_eval_close_to_fp32).
+        # MMTX_BF16=0 benches the fp32 path.
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), t)
+        params, data, mask = cast(params), cast(data), mask.astype(
+            jnp.bfloat16)
 
     fwd = jax.jit(lambda p, d, m: apply(p, d, m, rng=None))
     for _ in range(n_warmup):

@@ -36,7 +36,8 @@ class Engine:
 
     def __init__(self, cfg: ModelConfig, lr: float = 1e-4,
                  weight_decay: float = 1e-4, seed: int = 1,
-                 mesh=None, logger=None, nan_guard: bool = True):
+                 mesh=None, logger=None, nan_guard: bool = True,
+                 eval_dtype=None):
         from .guards import NanGuard
         self.cfg = cfg
         self.lr = lr
@@ -89,8 +90,20 @@ class Engine:
             self._eval_step = jax.jit(
                 lambda p, d, m: apply_fn(p, d, m, rng=None))
 
+        # Optional reduced-precision batched-eval path: params + activations
+        # in bf16 (halves HBM traffic; ~2x faster on v5e, |diff| ~1e-3 on
+        # valence range), metrics always computed in fp32.
+        self.eval_dtype = eval_dtype
+
         def eval_batched_step(params, data, target, mask):
-            pred = apply_fn(params, data, mask, rng=None)
+            if eval_dtype is not None:
+                cast = lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(eval_dtype), t)
+                pred = apply_fn(cast(params), cast(data),
+                                mask.astype(eval_dtype), rng=None)
+                pred = pred.astype(jnp.float32)
+            else:
+                pred = apply_fn(params, data, mask, rng=None)
             d = pred - target
             loss = jnp.sum(d * d)
             cccs = ccc_masked(target[..., 0], pred[..., 0], mask[..., 0])

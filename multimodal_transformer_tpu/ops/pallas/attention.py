@@ -60,6 +60,7 @@ def flash_attention_masked(q, k, v, kmask, *, blk_q: int = 128,
     """q,k,v: [BH, T, dk]; kmask: [BH, T].  Returns [BH, Tq, dk]."""
     BH, Tq, dk = q.shape
     Tk = k.shape[1]
+    kmask = kmask.astype(jnp.float32)  # robust compare dtype in-kernel
     scale = 1.0 / (dk ** 0.5)
     blk_q = min(blk_q, Tq)
     blk_k = min(blk_k, Tk)

@@ -48,7 +48,7 @@ def _kernel(x_ref, kcat_ref, bias_ref, wp_ref, bp_ref, wg_ref, bg_ref,
     gate = jax.nn.sigmoid(
         jnp.dot(pooled, wg_ref[:], preferred_element_type=jnp.float32)
         + bg_ref[:][None, :])
-    out_ref[:] = gate * proj + (1.0 - gate) * pooled
+    out_ref[:] = (gate * proj + (1.0 - gate) * pooled).astype(out_ref.dtype)
 
 
 def fused_window_embed_highway(conv_params, highway_params, x, *,

@@ -115,3 +115,20 @@ def test_batched_eval_matches_per_video_in_clean_mask_mode(fixture):
     # batched eval places per-video CCCs back in original video order
     np.testing.assert_allclose(cccs_ref, cccs_fast, rtol=1e-3, atol=1e-4)
     assert stats_fast["ccc"] == pytest.approx(stats_ref["ccc"], rel=1e-3)
+
+
+def test_bf16_batched_eval_close_to_fp32(fixture):
+    import jax.numpy as jnp
+    _, _, (va_x, va_y, va_l) = fixture
+    cfg = default_config("B2-Trans", ("acoustic", "linguistic"),
+                         mask_mode="key_query")
+    object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
+    eng32 = Engine(cfg, seed=5)
+    eng16 = Engine(cfg, seed=5, eval_dtype=jnp.bfloat16)
+    c32, _, s32 = eng32.evaluate_batched(va_x, va_y, va_l, batch_size=2,
+                                         time_multiple=8)
+    c16, _, s16 = eng16.evaluate_batched(va_x, va_y, va_l, batch_size=2,
+                                         time_multiple=8)
+    # bf16 is a fast-serving mode: CCC within a few percent of fp32
+    np.testing.assert_allclose(c32, c16, atol=0.05)
+    assert s16["ccc"] == pytest.approx(s32["ccc"], abs=0.05)
