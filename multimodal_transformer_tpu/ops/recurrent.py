@@ -71,7 +71,14 @@ def lstm_scan(params, xs, h0=None, c0=None):
 
 def pad_shift(x, shift: int, padv: float = 0.0):
     """Shift a [B, T, D] tensor forward in time, zero-padding
-    (reference MFT/models.py:10-19)."""
+    (reference MFT/models.py:10-19).
+
+    |shift| >= T yields an all-padding tensor (every element shifted out) —
+    the reference crashes on that degenerate case (negative slice bound);
+    handled gracefully here for very short sequences."""
+    T = x.shape[1]
+    if abs(shift) >= T:
+        return jnp.full_like(x, padv)
     if shift > 0:
         pad = jnp.full((x.shape[0], shift, x.shape[2]), padv, x.dtype)
         return jnp.concatenate([pad, x[:, :-shift, :]], axis=1)

@@ -94,18 +94,25 @@ def train_one(args, cfg, ckpt_path, logger):
 def eval_mode(args, logger):
     eval_dir = "Valid" if args.eval else "Test"
     print("evaluating on the " + eval_dir + " Set.")
-    ck = load_checkpoint(args.load)
     family = args.family
     mask_mode = "key_query" if args.fast_eval else args.mask_mode
-    cfg = default_config(family, ck["modalities"], mask_mode=mask_mode)
-    object.__setattr__(cfg, "mod_dimension",
-                       {k: int(v) for k, v in ck["mod_dimension"].items()})
-    object.__setattr__(cfg, "window_size",
-                       {k: int(v) for k, v in ck["window_size"].items()})
-    lvar = "bert" if family == "B1-LSTM" else "glove"
+    if args.load.endswith(".pth"):
+        # reference torch checkpoint: convert on the fly (engine/convert.py)
+        from multimodal_transformer_tpu.engine.convert import convert_pth
+        cfg, params, _ = convert_pth(args.load, family, mask_mode=mask_mode)
+    else:
+        ck = load_checkpoint(args.load)
+        cfg = default_config(family, ck["modalities"], mask_mode=mask_mode)
+        object.__setattr__(cfg, "mod_dimension",
+                           {k: int(v) for k, v in ck["mod_dimension"].items()})
+        object.__setattr__(cfg, "window_size",
+                           {k: int(v) for k, v in ck["window_size"].items()})
+        params = ck["model"]
+    lvar = ("bert" if family == "B1-LSTM" and cfg.variant != "legacy"
+            else "glove")
     ds, x, y, lens = prepare_data(cfg, args.data_dir, eval_dir, lvar)
     eng = Engine(cfg, logger=logger)
-    eng.params = ck["model"]
+    eng.params = params
     if args.fast_eval:
         # bucketed static-shape eval: a handful of XLA programs instead of
         # one per video length; requires the padding-invariant mask mode
@@ -146,7 +153,7 @@ def perf_mode(args, logger):
     out = os.path.basename(os.path.normpath(args.model_save))
     for root, _, files in os.walk(args.model_save):
         for name in sorted(files):
-            if not name.endswith(".ckpt"):
+            if not name.endswith((".ckpt", ".pth")):
                 continue
             parts = name.rsplit(".", 1)[0].split("-")
             # {family}-{comb}[-{acoustic_dim}]; family may contain '-' (B1-LSTM)
@@ -161,25 +168,35 @@ def perf_mode(args, logger):
                 model_str = "-".join(parts[:-1])
                 family = model_str
             mod_str = "".join(sorted(comb))
-            ck = load_checkpoint(os.path.join(root, name))
+            mask_mode = "key_query" if args.fast_eval else args.mask_mode
+            path = os.path.join(root, name)
+            if name.endswith(".pth"):
+                from multimodal_transformer_tpu.engine.convert import (
+                    convert_pth)
+                cfg0, params, _ = convert_pth(path, family,
+                                              mask_mode=mask_mode)
+            else:
+                ck = load_checkpoint(path)
+                cfg0 = default_config(family, ck["modalities"],
+                                      acoustic_embed=acoustic_dim,
+                                      mask_mode=mask_mode)
+                object.__setattr__(cfg0, "mod_dimension",
+                                   {k: int(v) for k, v in
+                                    ck["mod_dimension"].items()})
+                object.__setattr__(cfg0, "window_size",
+                                   {k: int(v) for k, v in
+                                    ck["window_size"].items()})
+                params = ck["model"]
             for eval_dir in ["Train", "Valid", "Test"]:
                 print(f"Evaluating {model_str} with {mod_str} performances "
                       f"on {eval_dir}")
-                cfg = default_config(
-                    family, ck["modalities"], acoustic_embed=acoustic_dim,
-                    mask_mode=("key_query" if args.fast_eval
-                               else args.mask_mode))
-                object.__setattr__(cfg, "mod_dimension",
-                                   {k: int(v) for k, v in
-                                    ck["mod_dimension"].items()})
-                object.__setattr__(cfg, "window_size",
-                                   {k: int(v) for k, v in
-                                    ck["window_size"].items()})
-                lvar = "bert" if family == "B1-LSTM" else "glove"
+                cfg = cfg0
+                lvar = ("bert" if family == "B1-LSTM"
+                        and cfg.variant != "legacy" else "glove")
                 ds, x, y, lens = prepare_data(cfg, args.data_dir, eval_dir,
                                               lvar)
                 eng = Engine(cfg, logger=logger)
-                eng.params = ck["model"]
+                eng.params = params
                 if args.fast_eval:
                     cccs, _, stats = eng.evaluate_batched(x, y, lens)
                 else:
