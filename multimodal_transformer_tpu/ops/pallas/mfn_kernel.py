@@ -20,6 +20,18 @@ further and runs the WHOLE recurrence inside a single kernel invocation:
 Eval path only (the training path keeps the differentiable lax.scan).
 Weight layout notes: W_hh passed pre-transposed [H, 4H]; gate MLP weights
 pre-transposed [in, out] so every in-kernel matmul is plain row-major.
+
+MEASURED RESULT (v5e-1, B=32, T=160, A+V+L, fp32): the XLA lax.scan wins.
+    lax.scan                1.5-1.7 ms
+    this kernel (unpadded)  1.9 ms
+    gate-aligned variant    2.0 ms   (128-lane padded hidden blocks)
+    K-chunked grid (K<=32)  1.9-2.1 ms
+Neither lane alignment nor amortizing grid steps closes the gap — XLA's
+fused while-loop keeps this small recurrence entirely in registers/VMEM with
+less fixed overhead than pallas_call's per-block pipeline.  The kernels are
+kept correct + tested as the scaling path for much larger MFN configs (where
+weight residency wins), and as documentation of the exploration; production
+dispatch uses the scan (MMTX_PALLAS_MFN=1 opts in).
 """
 
 from __future__ import annotations
@@ -179,4 +191,196 @@ def mfn_scan_pallas(params, inputs, mods, *, interpret: bool = False):
         ),
         interpret=interpret,
     )(*xps, *whhs, *gate_args)
+    return hs.transpose(1, 0, 2), mems.transpose(1, 0, 2)
+
+
+# --------------------------------------------------------------------------
+# Gate-aligned variant: every per-modality hidden block padded to 128 lanes
+# so ALL in-kernel slices/concats are lane-aligned (the unpadded kernel above
+# loses to XLA's scan because 88/48/16-wide slices force lane shifts).
+# Zero-padding is exact: padded LSTM lanes produce c=h=0 (sigmoid(0)*tanh(0)),
+# gate-MLP weights get zero rows/cols at padded positions, and the
+# feature-axis softmax sees -1e9 biases on padded lanes.
+# --------------------------------------------------------------------------
+
+HP = 128  # padded per-modality hidden width (v5e lane count)
+
+
+def _pad_rows(w, src_positions, n_rows):
+    """Scatter rows of w [in, out] into a zero [n_rows, out] at src_positions."""
+    out = jnp.zeros((n_rows, w.shape[1]), w.dtype)
+    return out.at[src_positions].set(w)
+
+
+def _cstar_positions(mods):
+    """Real-lane positions inside the padded [2*n*HP] cstar layout."""
+    import numpy as np
+    pos = []
+    for half in range(2):  # prev_cs then new_cs
+        for mi, m in enumerate(mods):
+            base = half * len(mods) * HP + mi * HP
+            pos.extend(range(base, base + HIDDEN_DIM[m]))
+    return np.asarray(pos)
+
+
+def pack_mfn_params_aligned(params, mods):
+    """Pad/scatter MFN weights into the 128-aligned layout (pure jnp; cheap
+    enough to run per call under jit — XLA folds the scatters)."""
+    import numpy as np
+    n = len(mods)
+    thp = n * HP
+    cpos = _cstar_positions(mods)  # [2*TH] positions in [2*THP]
+    packed = {}
+    for m in mods:
+        p = params[f"lstm_{m}"]
+        H = HIDDEN_DIM[m]
+        whh = p["weight_hh"].T  # [H, 4H]
+        wp = jnp.zeros((HP, 4 * HP), whh.dtype)
+        for g in range(4):
+            wp = wp.at[:H, g * HP:g * HP + H].set(whh[:, g * H:(g + 1) * H])
+        packed[f"whh_{m}"] = wp
+    # att1: fc1 rows scatter; fc2 cols scatter + -1e9 bias on padded lanes
+    packed["a1w1"] = _pad_rows(params["att1_fc1"]["weight"].T, cpos, 2 * thp)
+    packed["a1b1"] = params["att1_fc1"]["bias"]
+    a1w2 = params["att1_fc2"]["weight"].T  # [128, 2TH]
+    w = jnp.zeros((a1w2.shape[0], 2 * thp), a1w2.dtype)
+    packed["a1w2"] = w.at[:, cpos].set(a1w2)
+    b = jnp.full((2 * thp,), -1e9, a1w2.dtype)
+    packed["a1b2"] = b.at[cpos].set(params["att1_fc2"]["bias"])
+    # att2
+    packed["a2w1"] = _pad_rows(params["att2_fc1"]["weight"].T, cpos, 2 * thp)
+    packed["a2b1"] = params["att2_fc1"]["bias"]
+    packed["a2w2"] = params["att2_fc2"]["weight"].T
+    packed["a2b2"] = params["att2_fc2"]["bias"]
+    # gammas: input = [attended (2*THP); mem (MEM_DIM)]
+    gpos = np.concatenate([cpos, 2 * thp + np.arange(MEM_DIM)])
+    for g in ("gamma1", "gamma2"):
+        packed[f"{g}w1"] = _pad_rows(params[f"{g}_fc1"]["weight"].T, gpos,
+                                     2 * thp + MEM_DIM)
+        packed[f"{g}b1"] = params[f"{g}_fc1"]["bias"]
+        packed[f"{g}w2"] = params[f"{g}_fc2"]["weight"].T
+        packed[f"{g}b2"] = params[f"{g}_fc2"]["bias"]
+    return packed
+
+
+def _mfn_kernel_aligned(n_mods: int, *refs):
+    i = 0
+    xp = refs[i:i + n_mods]; i += n_mods
+    whh = refs[i:i + n_mods]; i += n_mods
+    (a1w1, a1b1, a1w2, a1b2, a2w1, a2b1, a2w2, a2b2,
+     g1w1, g1b1, g1w2, g1b2, g2w1, g2b1, g2w2, g2b2) = refs[i:i + 16]
+    i += 16
+    hs_out, mem_out = refs[i:i + 2]; i += 2
+    h_s = refs[i:i + n_mods]; i += n_mods
+    c_s = refs[i:i + n_mods]; i += n_mods
+    mem_s = refs[i]
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        for m in range(n_mods):
+            h_s[m][:] = jnp.zeros_like(h_s[m])
+            c_s[m][:] = jnp.zeros_like(c_s[m])
+        mem_s[:] = jnp.zeros_like(mem_s)
+
+    def mlp(x, w1, b1, w2, b2):
+        hmid = jnp.maximum(
+            jnp.dot(x, w1[:], preferred_element_type=jnp.float32)
+            + b1[:][None, :], 0.0)
+        return jnp.dot(hmid, w2[:], preferred_element_type=jnp.float32) \
+            + b2[:][None, :]
+
+    prev_cs = jnp.concatenate([c_s[m][:] for m in range(n_mods)], axis=1)
+    new_cs_parts, hs_parts = [], []
+    for m in range(n_mods):
+        z = xp[m][0] + jnp.dot(h_s[m][:], whh[m][:],
+                               preferred_element_type=jnp.float32)
+        ig = jax.nn.sigmoid(z[:, 0 * HP:1 * HP])
+        fg = jax.nn.sigmoid(z[:, 1 * HP:2 * HP])
+        gg = jnp.tanh(z[:, 2 * HP:3 * HP])
+        og = jax.nn.sigmoid(z[:, 3 * HP:4 * HP])
+        c_new = fg * c_s[m][:] + ig * gg
+        h_new = og * jnp.tanh(c_new)
+        c_s[m][:] = c_new
+        h_s[m][:] = h_new
+        new_cs_parts.append(c_new)
+        hs_parts.append(h_new)
+    new_cs = jnp.concatenate(new_cs_parts, axis=1)
+    c_star = jnp.concatenate([prev_cs, new_cs], axis=1)  # [B, 2*THP]
+    att = jax.nn.softmax(mlp(c_star, a1w1, a1b1, a1w2, a1b2), axis=1)
+    attended = att * c_star
+    c_hat = jnp.tanh(mlp(attended, a2w1, a2b1, a2w2, a2b2))
+    both = jnp.concatenate([attended, mem_s[:]], axis=1)
+    g1 = jax.nn.sigmoid(mlp(both, g1w1, g1b1, g1w2, g1b2))
+    g2 = jax.nn.sigmoid(mlp(both, g2w1, g2b1, g2w2, g2b2))
+    mem_new = g1 * mem_s[:] + g2 * c_hat
+    mem_s[:] = mem_new
+    hs_out[0] = jnp.concatenate(hs_parts, axis=1)
+    mem_out[0] = mem_new
+
+
+def mfn_scan_pallas_aligned(params, inputs, mods, *,
+                            interpret: bool = False):
+    """Gate-aligned full-recurrence kernel.  Returns (all_hs [B, T, total_h]
+    — real lanes only — and all_mems [B, T, MEM_DIM])."""
+    first = inputs[mods[0]]
+    B, T = first.shape[0], first.shape[1]
+    dtype = first.dtype
+    n = len(mods)
+    thp = n * HP
+
+    packed = pack_mfn_params_aligned(params, mods)
+
+    xps = []
+    for m in mods:
+        p = params[f"lstm_{m}"]
+        H = HIDDEN_DIM[m]
+        xp = (jnp.einsum("btd,gd->btg", inputs[m], p["weight_ih"])
+              + p["bias_ih"] + p["bias_hh"])  # [B, T, 4H]
+        xp = xp.reshape(B, T, 4, H)
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, HP - H)))
+        xps.append(xp.reshape(B, T, 4 * HP).transpose(1, 0, 2))
+
+    gate_names = ["a1w1", "a1b1", "a1w2", "a1b2", "a2w1", "a2b1", "a2w2",
+                  "a2b2", "gamma1w1", "gamma1b1", "gamma1w2", "gamma1b2",
+                  "gamma2w1", "gamma2b1", "gamma2w2", "gamma2b2"]
+    gate_args = [packed[k] for k in gate_names]
+    whhs = [packed[f"whh_{m}"] for m in mods]
+
+    xp_specs = [pl.BlockSpec((1, B, 4 * HP), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM) for _ in mods]
+    whh_specs = [pl.BlockSpec(w.shape, lambda t: (0, 0),
+                              memory_space=pltpu.VMEM) for w in whhs]
+    gate_specs = [pl.BlockSpec(g.shape,
+                               (lambda t: (0, 0)) if g.ndim == 2
+                               else (lambda t: (0,)),
+                               memory_space=pltpu.VMEM) for g in gate_args]
+
+    import functools as _ft
+    hs_p, mems = pl.pallas_call(
+        _ft.partial(_mfn_kernel_aligned, n),
+        grid=(T,),
+        in_specs=xp_specs + whh_specs + gate_specs,
+        out_specs=(
+            pl.BlockSpec((1, B, thp), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, MEM_DIM), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, thp), dtype),
+            jax.ShapeDtypeStruct((T, B, MEM_DIM), dtype),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((B, HP), jnp.float32) for _ in mods]
+            + [pltpu.VMEM((B, HP), jnp.float32) for _ in mods]
+            + [pltpu.VMEM((B, MEM_DIM), jnp.float32)]
+        ),
+        interpret=interpret,
+    )(*xps, *whhs, *gate_args)
+    # cut real lanes back out of the padded hidden concat
+    hs = jnp.concatenate(
+        [hs_p[:, :, mi * HP:mi * HP + HIDDEN_DIM[m]]
+         for mi, m in enumerate(mods)], axis=2)
     return hs.transpose(1, 0, 2), mems.transpose(1, 0, 2)

@@ -144,3 +144,25 @@ def test_mfn_full_recurrence_kernel_matches_scan():
     want = mfn_scan(p, inputs, mods)  # jnp scan path (pallas MFN is opt-in)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_mfn_gate_aligned_kernel_matches_scan():
+    """The 128-lane gate-aligned MFN kernel must be exact (interpret mode)."""
+    from multimodal_transformer_tpu.ops.mfn_core import mfn_init, mfn_scan
+    from multimodal_transformer_tpu.ops.pallas.mfn_kernel import (
+        mfn_scan_pallas_aligned)
+    from multimodal_transformer_tpu.ops.basic import linear as lin
+
+    mods = ["linguistic", "acoustic"]
+    dims = {"linguistic": 24, "acoustic": 16}
+    p = mfn_init(jax.random.PRNGKey(11), mods, dims, 1)
+    rs = np.random.RandomState(11)
+    B, T = 2, 5
+    inputs = {m: jnp.asarray(rs.randn(B, T, dims[m]).astype(np.float32))
+              for m in mods}
+    hs, mems = mfn_scan_pallas_aligned(p, inputs, mods, interpret=True)
+    feats = jnp.concatenate([hs, mems], axis=2)
+    got = lin(p["out_fc2"], jax.nn.relu(lin(p["out_fc1"], feats)))
+    want = mfn_scan(p, inputs, mods)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-6)
