@@ -42,13 +42,16 @@ def frontend_apply(params, inputs, mods, *, rng=None, dropout_p: float = 0.3,
     outputs = {}
     rngs = (jax.random.split(rng, len(mods)) if rng is not None
             else [None] * len(mods))
-    use_fused = rng is None and not relu_proj and pallas_enabled()
+    # Fused Pallas forward on TPU; grad-capable via custom_vjp (backward
+    # rematerializes through the jnp path), so it serves train + eval.
+    use_fused = not relu_proj and pallas_enabled()
     for mod, mod_rng in zip(mods, rngs):
         if use_fused and inputs[mod].shape[2] >= 2:
-            from ..ops.pallas.window_embed import fused_window_embed_highway
-            x = fused_window_embed_highway(params[f"cnn_{mod}"]["conv1d"],
-                                           params[f"highway_{mod}"],
-                                           inputs[mod])
+            from ..ops.pallas.window_embed import (
+                window_embed_highway_trainable)
+            x = window_embed_highway_trainable(params[f"cnn_{mod}"]["conv1d"],
+                                               params[f"highway_{mod}"],
+                                               inputs[mod])
         else:
             x = conv1d_window_embed(params[f"cnn_{mod}"]["conv1d"],
                                     inputs[mod])

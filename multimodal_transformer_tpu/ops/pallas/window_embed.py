@@ -109,3 +109,33 @@ def fused_window_embed_highway(conv_params, highway_params, x, *,
         ),
     )(xf, kcat, conv_params["bias"], wp, bp, wg, bg)
     return out[:N].reshape(B, W, E)
+
+
+# ------------------------------------------------------------- training path
+# custom_vjp wrapper: the Pallas kernel serves the forward pass; the backward
+# pass rematerializes through the jnp reference implementation (ops.basic),
+# whose autodiff is exact for this op.  This lets the training step keep the
+# fused forward without hand-writing conv/maxpool/highway backward kernels.
+
+@jax.custom_vjp
+def window_embed_highway_trainable(conv_params, highway_params, x):
+    return fused_window_embed_highway(conv_params, highway_params, x)
+
+
+def _jnp_reference(conv_params, highway_params, x):
+    from ..basic import conv1d_window_embed, highway
+    return highway(highway_params, conv1d_window_embed(conv_params, x))
+
+
+def _fwd(conv_params, highway_params, x):
+    out = fused_window_embed_highway(conv_params, highway_params, x)
+    return out, (conv_params, highway_params, x)
+
+
+def _bwd(res, g):
+    conv_params, highway_params, x = res
+    _, vjp = jax.vjp(_jnp_reference, conv_params, highway_params, x)
+    return vjp(g)
+
+
+window_embed_highway_trainable.defvjp(_fwd, _bwd)

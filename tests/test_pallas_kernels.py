@@ -166,3 +166,37 @@ def test_mfn_gate_aligned_kernel_matches_scan():
     want = mfn_scan(p, inputs, mods)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_window_embed_trainable_grads_match_jnp(monkeypatch):
+    """custom_vjp wrapper: pallas forward + jnp-rematerialized backward must
+    give the same gradients as pure jnp autodiff."""
+    import multimodal_transformer_tpu.ops.pallas.window_embed as we
+
+    # run the pallas forward in interpret mode on CPU
+    orig = we.fused_window_embed_highway
+    monkeypatch.setattr(
+        we, "fused_window_embed_highway",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+
+    key = jax.random.PRNGKey(5)
+    B, W, F, D, E = 2, 4, 3, 10, 8
+    kc, kp, kg = jax.random.split(key, 3)
+    conv_p = conv1d_init(kc, D, E, 2)
+    hw_p = {"linear_projection": linear_init(kp, E, E),
+            "linear_gate": linear_init(kg, E, E)}
+    x = jnp.asarray(np.random.RandomState(5).randn(B, W, F, D)
+                    .astype(np.float32))
+
+    def loss_pallas(cp, hp, xx):
+        return jnp.sum(we.window_embed_highway_trainable(cp, hp, xx) ** 2)
+
+    def loss_jnp(cp, hp, xx):
+        return jnp.sum(highway(hp, conv1d_window_embed(cp, xx)) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(conv_p, hw_p, x)
+    g2 = jax.grad(loss_jnp, argnums=(0, 1, 2))(conv_p, hw_p, x)
+    for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(g1),
+                                jax.tree_util.tree_leaves_with_path(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5, err_msg=str(ka))
