@@ -31,7 +31,7 @@ is numpy.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import numpy as np
 

@@ -15,7 +15,6 @@ scalar so plateau LR drops do NOT retrigger compilation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp

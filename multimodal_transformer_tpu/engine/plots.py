@@ -4,7 +4,7 @@ root PNGs).  Headless-safe: always saves to a file, never plt.show()."""
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

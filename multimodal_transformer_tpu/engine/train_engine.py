@@ -17,9 +17,7 @@ observable API — SURVEY.md §5).
 
 from __future__ import annotations
 
-import time
-from functools import partial
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
