@@ -126,3 +126,13 @@ def test_device_prefetcher_yields_all_and_propagates_errors():
     with pytest.raises(RuntimeError, match="worker died"):
         for _ in it:
             pass
+
+
+def test_profiler_trace_writes_output(tmp_path):
+    import jax.numpy as jnp
+    from multimodal_transformer_tpu.engine.profiling import trace
+    with trace(str(tmp_path)):
+        _ = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+    # jax writes plugins/profile/<ts>/*.trace.json.gz (or .pb) under the dir
+    found = list(tmp_path.rglob("*"))
+    assert any(p.is_file() for p in found), found

@@ -164,3 +164,30 @@ def test_jit_and_grad(family, mods):
     # dropout path (train mode) must also run under jit
     loss2 = loss_fn(params, jax.random.PRNGKey(4))
     assert np.isfinite(float(loss2))
+
+
+def test_mft_with_emotient_modality():
+    """Emotient has distinct dims everywhere (raw 20 -> window embed 20 ->
+    MFT embed 16 -> MFN hidden 16); ensure the full pipeline handles it."""
+    import torch
+    mods = ("acoustic", "emotient")
+    cfg = small_config("MFT", mods)
+    init, apply = build_model(cfg)
+    params = init(jax.random.PRNGKey(6))
+    inputs, mask = make_inputs(cfg, seed=6)
+    got = np.asarray(apply(params,
+                           {m: jnp.asarray(v) for m, v in inputs.items()},
+                           jnp.asarray(mask)))
+    assert got.shape == mask.shape
+    fronts = oracle.t_frontend(params, inputs, cfg.modalities)
+    head = params["Transformer"]
+    mfn_in = {}
+    for m in mods:
+        e = oracle.t_linear(head[f"embed_{m}"], fronts[m])
+        e = oracle.t_encoder(head[f"transformer_{m}"], e,
+                             torch.from_numpy(mask))
+        mfn_in[m] = e.detach().numpy()
+    want = oracle.t_mfn(head["mfn"], mfn_in, mods, HIDDEN_DIM, MEM_DIM)
+    want = want * torch.from_numpy(mask)
+    np.testing.assert_allclose(got, want.detach().numpy(), rtol=RTOL,
+                               atol=ATOL)
