@@ -132,3 +132,37 @@ def test_bf16_batched_eval_close_to_fp32(fixture):
     # bf16 is a fast-serving mode: CCC within a few percent of fp32
     np.testing.assert_allclose(c32, c16, atol=0.05)
     assert s16["ccc"] == pytest.approx(s32["ccc"], abs=0.05)
+
+
+def test_device_resident_training(fixture):
+    """HBM-resident epoch: zero per-batch H2D, loss decreases, and a single
+    full-batch step matches the standard path exactly (key_query mode)."""
+    _, (tr_x, tr_y, tr_l), _ = fixture
+    cfg = default_config("B2-Trans", ("acoustic", "linguistic"),
+                        mask_mode="key_query")
+    object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
+
+    # exactness: one step over the whole split (single batch, no shuffle
+    # ambiguity, full padded T in both paths)
+    engA = Engine(cfg, lr=1e-3, seed=7, nan_guard=False)
+    engB = Engine(cfg, lr=1e-3, seed=7, nan_guard=False)
+    V = tr_y.shape[0]
+    store = engB.upload_dataset(tr_x, tr_y, tr_l)
+    rngA, rngB = np.random.RandomState(3), np.random.RandomState(3)
+    key = jax.random.PRNGKey(9)
+    lossA = engA.train_epoch(tr_x, tr_y, tr_l, batch_size=V, rng=rngA,
+                             jax_rng=key, pad_time_to=tr_y.shape[1])
+    lossB = engB.train_epoch_resident(store, batch_size=V, rng=rngB,
+                                      jax_rng=key)
+    assert lossA == pytest.approx(lossB, rel=1e-4)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(engA.params),
+            jax.tree_util.tree_leaves_with_path(engB.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5, err_msg=str(ka))
+
+    # training dynamics: several resident epochs reduce the loss
+    losses = [engB.train_epoch_resident(store, batch_size=3,
+                                        rng=np.random.RandomState(5))
+              for _ in range(4)]
+    assert losses[-1] < losses[0]
