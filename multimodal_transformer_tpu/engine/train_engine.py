@@ -181,15 +181,30 @@ class Engine:
         Returns an opaque handle for train_epoch_resident.  SEND-scale splits
         are ~2 GB fp32 — comfortably HBM-resident on v5e; afterwards training
         epochs involve ZERO host->device tensor traffic (only the shuffled
-        index vector per batch)."""
-        V, W = target.shape
-        mask_rows = (np.arange(W)[None, :]
-                     < np.asarray(seq_lens)[:, None]).astype(np.float32)
+        index vector per batch).  With a mesh, the video axis is sharded over
+        'data' (rows padded to the mesh size; pad rows have zero length and
+        are never selected by any batch index)."""
+        from ..data.batching import len_to_mask
+
+        lengths = np.asarray(seq_lens)
+        mask = len_to_mask(seq_lens).astype(np.float32)
+        target = target[..., None].astype(np.float32)
+        data = dict(data)
+        if self._bsh is not None:
+            from ..parallel.mesh import pad_batch_rows
+            nd = self.mesh.devices.size
+            data = {m: pad_batch_rows(np.asarray(v), nd)
+                    for m, v in data.items()}
+            target = pad_batch_rows(target, nd)
+            mask = pad_batch_rows(mask, nd)
+            put = lambda a: jax.device_put(a, self._bsh)
+        else:
+            put = jnp.asarray
         return {
-            "data": {m: jnp.asarray(v) for m, v in data.items()},
-            "target": jnp.asarray(target[..., None].astype(np.float32)),
-            "mask": jnp.asarray(mask_rows[..., None]),
-            "lengths": np.asarray(seq_lens),
+            "data": {m: put(v) for m, v in data.items()},
+            "target": put(target),
+            "mask": put(mask),
+            "lengths": lengths,  # real videos only
         }
 
     def train_epoch_resident(self, store, *, batch_size: int = 25,
@@ -208,12 +223,15 @@ class Engine:
             wd = self._wd
 
             # the reference divides the loss by sum(lengths) before backward;
-            # replicated by scaling inside loss_fn
+            # replicated by scaling inside loss_fn.  row_valid zeroes the
+            # repeated rows a remainder batch pads with, so they contribute
+            # nothing to loss or gradient.
             def step_scaled(params, opt_state, data, target, mask, idx,
-                            denom, lr_now, rng):
+                            row_valid, denom, lr_now, rng):
+                rv = row_valid[:, None, None]
                 bd = {m: jnp.take(v, idx, axis=0) for m, v in data.items()}
-                bt = jnp.take(target, idx, axis=0)
-                bm = jnp.take(mask, idx, axis=0)
+                bt = jnp.take(target, idx, axis=0) * rv
+                bm = jnp.take(mask, idx, axis=0) * rv
 
                 def loss_fn(p):
                     pred = apply_fn(p, bd, bm, rng=rng)
@@ -227,7 +245,16 @@ class Engine:
                     params, grads, opt_state, lr_now, weight_decay=wd)
                 return params, opt_state, batch_loss
 
-            self._resident_step = jax.jit(step_scaled, donate_argnums=(0, 1))
+            if self._repl is not None:
+                r, b = self._repl, self._bsh
+                dsh = {m: b for m in self.cfg.modalities}
+                self._resident_step = jax.jit(
+                    step_scaled, donate_argnums=(0, 1),
+                    in_shardings=(r, r, dsh, b, b, r, r, r, r, r),
+                    out_shardings=(r, r, r))
+            else:
+                self._resident_step = jax.jit(step_scaled,
+                                              donate_argnums=(0, 1))
 
         self._epoch += 1
         if jax_rng is None:
@@ -243,24 +270,31 @@ class Engine:
             order = sorted(range(len(chunk)),
                            key=lambda k: -int(store["lengths"][chunk[k]]))
             chunk = chunk[order]
-            if len(chunk) < batch_size:  # static shapes: pad by repeating,
-                chunk = np.concatenate(   # weight the denom by real rows only
-                    [chunk, chunk[:batch_size - len(chunk)]])
-                real = len(index[i:i + batch_size])
-            else:
-                real = batch_size
-            lens = store["lengths"][chunk]
-            denom = jnp.asarray(float(lens[:real].sum() +
-                                      lens[real:].sum()))
+            real = len(chunk)
+            if real < batch_size:  # static shapes: pad by cycling rows;
+                chunk = np.resize(chunk, batch_size)  # row_valid zeroes them
+            row_valid = (np.arange(batch_size) < real).astype(np.float32)
+            lens = store["lengths"][chunk][:real]
+            denom = jnp.asarray(float(lens.sum()))
             step_rng = jax.random.fold_in(jax_rng, batch_num)
             self.params, self.opt_state, batch_loss = self._resident_step(
                 self.params, self.opt_state, store["data"], store["target"],
-                store["mask"], jnp.asarray(chunk), denom,
-                jnp.asarray(self.scheduler.lr, jnp.float32), step_rng)
+                store["mask"], jnp.asarray(chunk), jnp.asarray(row_valid),
+                denom, jnp.asarray(self.scheduler.lr, jnp.float32), step_rng)
             loss_sum += float(batch_loss)
+            if self.nan_guard:
+                self.nan_guard.check(float(batch_loss), self.params)
             data_num += int(lens.sum())
+            if self.logger:
+                self.logger.info('Batch: {:5d}\tLoss: {:2.5f}'.format(
+                    batch_num, loss_sum / data_num))
             batch_num += 1
-        return loss_sum / max(data_num, 1)
+        epoch_loss = loss_sum / max(data_num, 1)
+        if self.logger:
+            self.logger.info('---')
+            self.logger.info('Epoch: {}\tLoss: {:2.5f}'.format(
+                self._epoch, epoch_loss))
+        return epoch_loss
 
     # ------------------------------------------------------------------- eval
 

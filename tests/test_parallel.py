@@ -172,3 +172,41 @@ def test_tensor_parallel_2d_mesh_matches_single_device():
     leaf = sharded_params["Transformer"]["encoder"]["layers"][0][
         "self_attn"]["linears"][0]["weight"]
     assert len(leaf.sharding.spec) and leaf.sharding.spec[0] == "model"
+
+
+def test_device_resident_training_with_mesh():
+    """Resident path + DP mesh: split sharded over 'data', one epoch matches
+    the unsharded resident path."""
+    from multimodal_transformer_tpu.engine import Engine
+
+    cfg = default_config("B2-Trans", ("acoustic",), mask_mode="key_query")
+    object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
+    rs = np.random.RandomState(1)
+    V, T, Fr = 8, 5, 3
+    x = {"acoustic": rs.randn(V, T, Fr, SMALL_DIMS["acoustic"])
+         .astype(np.float32)}
+    y = rs.rand(V, T).astype(np.float32)
+    lens = [5, 5, 4, 4, 3, 3, 2, 5]
+
+    class NoShuffle:
+        def shuffle(self, a):
+            pass
+
+    key = jax.random.PRNGKey(4)
+    eng1 = Engine(cfg, lr=1e-3, seed=13, nan_guard=False)
+    st1 = eng1.upload_dataset(x, y, lens)
+    l1 = eng1.train_epoch_resident(st1, batch_size=4, rng=NoShuffle(),
+                                   jax_rng=key)
+
+    eng4 = Engine(cfg, lr=1e-3, seed=13, mesh=make_mesh(4), nan_guard=False)
+    st4 = eng4.upload_dataset(x, y, lens)
+    # sharded over 'data' on the video axis
+    assert "data" in str(st4["data"]["acoustic"].sharding.spec)
+    l4 = eng4.train_epoch_resident(st4, batch_size=4, rng=NoShuffle(),
+                                   jax_rng=key)
+    assert l1 == pytest.approx(l4, rel=1e-3)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(eng1.params),
+            jax.tree_util.tree_leaves_with_path(eng4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=5e-5, err_msg=str(ka))
