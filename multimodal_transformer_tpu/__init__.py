@@ -17,3 +17,23 @@ Layering (see SURVEY.md for the reference blueprint):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports (kept lazy so `import
+    multimodal_transformer_tpu` stays light and jax-free until used)."""
+    if name in ("Engine", "save_checkpoint", "load_checkpoint", "get_logger"):
+        from . import engine
+        return getattr(engine, name)
+    if name == "ValencePredictor":
+        from .serve import ValencePredictor
+        return ValencePredictor
+    if name in ("load_send", "window_pipeline", "generate_synthetic_send",
+                "make_batches", "bucketed_eval_batches"):
+        from . import data
+        return getattr(data, name)
+    if name in ("ModelConfig", "default_config", "build_model", "FAMILIES",
+                "modalities_from_comb"):
+        from . import models
+        return getattr(models, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
