@@ -117,13 +117,14 @@ def seq_collate_dict(items: List[Dict[str, np.ndarray]]):
 def bucketed_eval_batches(data: Dict[str, np.ndarray], target: np.ndarray,
                           seq_lens: Sequence[int], batch_size: int = 32,
                           time_multiple: int = 32) -> Iterator[Batch]:
-    """Group videos by padded-length bucket, then emit fixed-size batches.
+    """Group videos by padded-length bucket, then emit FIXED-SHAPE batches.
 
-    Every batch's time dim is the bucket bound (multiple of `time_multiple`),
-    so at most ceil(T_max/time_multiple) XLA programs are compiled per model.
-    The final partial batch of each bucket is padded with repeated videos and
-    a zeroed mask row is NOT used — instead callers rely on per-video CCC
-    being computed only for the first `len(lengths)` rows.
+    Every batch's time dim is the bucket bound (a multiple of
+    `time_multiple`) and its batch dim is exactly `batch_size` — the final
+    partial batch of each bucket is padded by cycling its videos with the
+    padded rows' target and mask zeroed, so they contribute nothing to loss
+    or metrics.  `lengths`/`indices` cover only the real rows.  Total XLA
+    programs per model: at most ceil(T_max/time_multiple).
     """
     n = target.shape[0]
     buckets: Dict[int, List[int]] = {}
@@ -134,10 +135,16 @@ def bucketed_eval_batches(data: Dict[str, np.ndarray], target: np.ndarray,
         vids = buckets[bound]
         for i in range(0, len(vids), batch_size):
             chunk = vids[i:i + batch_size]
+            real = len(chunk)
             lens = [int(seq_lens[j]) for j in chunk]
-            batch_data = {m: _take_time(a, chunk, bound) for m, a in data.items()}
-            tgt = _take_time(target, chunk, bound)[..., None].astype(np.float32)
-            mask = np.zeros((len(chunk), bound, 1), dtype=np.float32)
+            padded_chunk = (chunk if real == batch_size
+                            else list(np.resize(chunk, batch_size)))
+            batch_data = {m: _take_time(a, padded_chunk, bound)
+                          for m, a in data.items()}
+            tgt = _take_time(target, padded_chunk,
+                             bound)[..., None].astype(np.float32)
+            tgt[real:] = 0.0
+            mask = np.zeros((batch_size, bound, 1), dtype=np.float32)
             for bi, ln in enumerate(lens):
                 mask[bi, :ln] = 1.0
             yield Batch(batch_data, tgt, mask, lens, list(chunk))

@@ -34,24 +34,54 @@ class DevicePrefetcher:
                  depth: int = 2):
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for b in batches:
-                    self._q.put((b, put_fn(b)))
+                    staged = (b, put_fn(b))
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(staged, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return  # consumer abandoned; drop staged buffers
             except BaseException as e:  # propagate to consumer
                 self._err = e
             finally:
-                self._q.put(self._SENTINEL)
+                # must not drop the sentinel (consumer would block forever);
+                # retry until space or the consumer closed us
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
 
-    def __iter__(self) -> Iterator:
+    def close(self) -> None:
+        """Unblock the worker and drop staged device buffers.  Call when
+        abandoning iteration early (e.g. an exception mid-epoch) so the
+        queued batches don't stay pinned in HBM."""
+        self._stop.set()
         while True:
-            item = self._q.get()
-            if item is self._SENTINEL:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+
+    def __iter__(self) -> Iterator:
+        try:
+            while True:
+                item = self._q.get()
+                if item is self._SENTINEL:
+                    if self._err is not None:
+                        raise self._err
+                    return
+                yield item
+        finally:
+            self.close()

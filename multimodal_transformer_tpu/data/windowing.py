@@ -87,6 +87,13 @@ def window_ratings(ratings: np.ndarray, times: np.ndarray,
         if times[i] <= current_time + window_size:
             i += 1
         else:
+            if i == start:
+                # the reference crashes here with a bare ZeroDivisionError
+                # (sum/len of an empty window); fail loudly but informatively
+                raise ValueError(
+                    f"empty rating window at t={current_time:.2f}s "
+                    f"(gap in rating timestamps larger than the "
+                    f"{window_size}s window)")
             out.append(float(r[start:i].mean()))
             start = i
             current_time += window_size
@@ -106,6 +113,16 @@ def construct_input(dataset: SendDataset, window_size: Dict[str, float],
         per_channel = {}
         for c in channels:
             oversample = int(window_size[c] / window_size["ratings"])
+            if oversample < 1:
+                # the reference silently emits ZERO windows here
+                # (int(1/5) == 0 when e.g. acoustic ws=1 < ratings ws=5,
+                # B1-LSTM config); fail loudly instead of training on an
+                # empty time axis
+                raise ValueError(
+                    f"channel {c!r} window ({window_size[c]}s) is smaller "
+                    f"than the ratings window ({window_size['ratings']}s); "
+                    "oversample would be 0 and every video would have zero "
+                    "windows")
             wins = window_channel(dataset.data[c][v], dataset.timers[c][v],
                                   window_size[c], oversample)
             per_channel[c] = wins

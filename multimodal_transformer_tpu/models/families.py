@@ -146,8 +146,10 @@ def b1_lstm_apply(params, cfg: ModelConfig, inputs, mask, rng=None):
              if len(mods) > 1 else outs[mods[0]])
     if legacy:
         return multi_lstm_apply(params["LSTM"], fused, mask, rng=r_head,
-                                embed_dropout=0.1, decoder_dropout=0.0)
-    return multi_lstm_apply(params["LSTM"], fused, mask, rng=r_head)
+                                embed_dropout=0.1, decoder_dropout=0.0,
+                                mask_mode=cfg.mask_mode)
+    return multi_lstm_apply(params["LSTM"], fused, mask, rng=r_head,
+                            mask_mode=cfg.mask_mode)
 
 
 # ---------------------------------------------------------------- B2-Trans

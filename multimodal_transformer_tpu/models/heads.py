@@ -141,19 +141,35 @@ def multi_lstm_init(key, window_embed_size: int, embed_dim: int = 512,
     }
 
 
+def time_softmax_attn_weights(params, e, mask=None):
+    """The B1/legacy local-attention weights: Linear -> ReLU -> Linear ->
+    softmax over the TIME axis (the reference's nn.Softmax(dim=1) on
+    [B, T, attn_len] — B1-LSTM/models.py:161-164; a quirk, not a bug fix).
+
+    mask=None reproduces the reference exactly (padded timesteps participate
+    in the time-softmax, so outputs depend on padding length).  With a
+    [B, T, 1] mask, padded logits are excluded, making the head
+    padding-invariant — required by the bucketed/batched eval and serving
+    paths (mask_mode='key_query')."""
+    a = jax.nn.relu(linear(params["attn_fc1"], e))
+    logits = linear(params["attn_fc2"], a)  # [B, T, K]
+    if mask is not None:
+        logits = jnp.where(mask == 0, -1e9, logits)
+    return jax.nn.softmax(logits, axis=1)  # over time!
+
+
 def multi_lstm_apply(params, x, mask, *, rng=None, embed_dropout: float = 0.4,
-                     decoder_dropout: float = 0.4):
+                     decoder_dropout: float = 0.4, mask_mode: str = "query"):
     """B1-LSTM head (reference B1-LSTM/models.py:135-216).
 
-    Quirk preserved: the local-attention weights are softmaxed over the TIME
-    axis (nn.Softmax(dim=1) applied to [B, T, attn_len] — B1-LSTM/
-    models.py:161-164), not over the attn_len shift axis.
-    """
+    mask_mode='query' keeps the reference's unmasked time-softmax (parity);
+    'key_query' masks padded timesteps out of the softmax so outputs are
+    padding-invariant (identical at bs=1 where no padding exists)."""
     rngs = jax.random.split(rng, 2) if rng is not None else [None, None]
     e = dropout(x, rngs[0], embed_dropout)
     e = jax.nn.relu(linear(params["embed"], e))           # [B, T, 512]
-    a = jax.nn.relu(linear(params["attn_fc1"], e))
-    a = jax.nn.softmax(linear(params["attn_fc2"], a), axis=1)  # over time!
+    a = time_softmax_attn_weights(
+        params, e, mask if mask_mode == "key_query" else None)
     h, _ = lstm_scan(params["lstm"], e)                   # [B, T, 256]
     context = convolve_local_attn(h, a)
     d = jax.nn.relu(linear(params["decoder_fc1"], context))

@@ -27,11 +27,7 @@ import jax.numpy as jnp
 from ..ops.basic import dropout, linear
 from ..ops.recurrent import convolve_local_attn, lstm_scan, pad_shift
 from ..utils.torch_init import linear_init, lstm_init
-
-
-def _attn_weights(params, e):
-    a = jax.nn.relu(linear(params["attn_fc1"], e))
-    return jax.nn.softmax(linear(params["attn_fc2"], a), axis=1)  # over time
+from .heads import time_softmax_attn_weights as _attn_weights
 
 
 # ------------------------------------------------------------- MultiEDLSTM

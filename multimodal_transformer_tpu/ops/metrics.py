@@ -45,15 +45,18 @@ def ccc_masked(y_true, y_pred, mask):
     """
     mask = mask.astype(y_true.dtype)
     n = jnp.sum(mask, axis=1)  # [B]
+    n_safe = jnp.maximum(n, 1.0)  # all-masked rows yield 0, not NaN
     def _mean(x):
-        return jnp.sum(x * mask, axis=1) / n
+        return jnp.sum(x * mask, axis=1) / n_safe
     mt, mp = _mean(y_true), _mean(y_pred)
     dt = (y_true - mt[:, None]) * mask
     dp = (y_pred - mp[:, None]) * mask
-    var_t = jnp.sum(dt * dt, axis=1) / n
-    var_p = jnp.sum(dp * dp, axis=1) / n
-    covar = jnp.sum(dt * dp, axis=1) / n
-    return 2 * covar / (var_t + var_p + (mp - mt) ** 2)
+    var_t = jnp.sum(dt * dt, axis=1) / n_safe
+    var_p = jnp.sum(dp * dp, axis=1) / n_safe
+    covar = jnp.sum(dt * dp, axis=1) / n_safe
+    denom = var_t + var_p + (mp - mt) ** 2
+    return jnp.where((n > 0) & (denom > 0), 2 * covar
+                     / jnp.where(denom > 0, denom, 1.0), 0.0)
 
 
 def masked_mse_sum(pred, target):

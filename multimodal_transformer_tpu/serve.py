@@ -36,9 +36,11 @@ class ValencePredictor:
     def __init__(self, cfg: ModelConfig, params, *, batch_size: int = 32,
                  time_multiple: int = 32, bf16: bool = True):
         if cfg.mask_mode != "key_query":
-            # serving uses bucketed padding; require the padding-invariant mode
-            cfg = default_config(cfg.family, cfg.modalities,
-                                 mask_mode="key_query", variant=cfg.variant)
+            # serving uses bucketed padding; require the padding-invariant
+            # mode but keep every other field (custom mod_dimension /
+            # window_size from checkpoint metadata included)
+            import dataclasses
+            cfg = dataclasses.replace(cfg, mask_mode="key_query")
         self.cfg = cfg
         self.batch_size = batch_size
         self.time_multiple = time_multiple
@@ -64,8 +66,14 @@ class ValencePredictor:
                                          mask_mode="key_query")
         else:
             ck = load_checkpoint(path)
+            variant = "default"
+            if (family == "B1-LSTM" and "LSTM" in ck["model"]
+                    and ck["model"]["LSTM"]["embed"]["weight"].shape[0]
+                    == 128):
+                variant = "legacy"  # MFT-style MultiLSTM head (no Highway
+                #                     ReLU) — same autodetect as convert.py
             cfg = default_config(family, ck["modalities"],
-                                 mask_mode="key_query")
+                                 mask_mode="key_query", variant=variant)
             object.__setattr__(cfg, "mod_dimension",
                                {k: int(v) for k, v in
                                 ck["mod_dimension"].items()})
@@ -104,11 +112,14 @@ class ValencePredictor:
         traces = self.predict_padded(padded, seq_lens)
         return dict(zip(seq_id_strings(dataset.seq_ids), traces))
 
-    def warmup(self, max_windows: int, frames: Optional[Dict[str, int]] = None
-               ) -> int:
-        """Pre-compile every bucket program up to max_windows.  Returns the
-        number of programs compiled."""
-        frames = frames or {m: 4 for m in self.cfg.modalities}
+    def warmup(self, max_windows: int, frames: Dict[str, int]) -> int:
+        """Pre-compile every bucket program up to max_windows.
+
+        frames: frames-per-window (the padded F dim) PER MODALITY — it must
+        match what the windowing pipeline will produce for your data (each
+        distinct F is a distinct XLA program), e.g. derive it from a windowed
+        sample: {m: padded[m].shape[2] for m in mods}.  Returns the number of
+        programs compiled."""
         n = 0
         t = self.time_multiple
         for bound in range(t, ((max_windows + t - 1) // t) * t + 1, t):
