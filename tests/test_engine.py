@@ -210,3 +210,24 @@ def test_device_resident_remainder_batch_weighting():
             jax.tree_util.tree_leaves_with_path(engC.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=str(ka))
+
+
+def test_b1_batched_eval_matches_per_video_after_time_softmax_masking():
+    """Regression for the review finding: B1's time-axis softmax must be
+    padding-invariant in key_query mode so bucketed eval == per-video."""
+    d = "/tmp/mmtx_b1_fix"
+    import os, shutil
+    shutil.rmtree(d, ignore_errors=True)
+    generate_synthetic_send(d, {"Valid": 4}, duration_s=24.0,
+                            dims=SMALL_DIMS, seed=9)
+    cfg = default_config("B1-LSTM", ("linguistic",), mask_mode="key_query",
+                         variant="legacy")
+    object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
+    ds = load_send(["linguistic"], d, "Valid")
+    x, y, lens = window_pipeline(ds, cfg.window_size, cfg.modalities,
+                                 cfg.mod_dimension)
+    eng = Engine(cfg, seed=21)
+    cccs_ref, _, _, _, stats_ref, _ = eng.evaluate_per_video(x, y, lens)
+    cccs_fast, _, stats_fast = eng.evaluate_batched(x, y, lens, batch_size=2,
+                                                    time_multiple=4)
+    np.testing.assert_allclose(cccs_ref, cccs_fast, rtol=1e-3, atol=1e-4)
