@@ -71,3 +71,48 @@ def save_train_state(path: str, *, params, opt_state, epoch: int,
 def load_train_state(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+# ------------------------------------------------------------ orbax backend
+# Alternative durable-checkpoint backend (SURVEY.md §5 plan: "orbax
+# checkpointing w/ resume-from-step").  Orbax adds atomic directory commits,
+# async-friendly saves, and multi-host coordination for pod-slice training;
+# the msgpack format above stays the default for single-file portability.
+
+def save_train_state_orbax(path: str, **kwargs) -> None:
+    """Same payload as save_train_state, persisted via orbax: the array
+    trees (params + optimizer moments) go through StandardCheckpointer
+    (atomic directory commit, multi-host aware); the non-array metadata
+    rides in a JSON sidecar inside the committed directory."""
+    import json
+
+    import orbax.checkpoint as ocp
+    arrays = {"model": _to_host(kwargs["params"]),
+              "opt_state": _to_host(kwargs["opt_state"])}
+    meta = {
+        "modalities": list(kwargs["modalities"]),
+        "mod_dimension": {k: int(v) for k, v in
+                          kwargs["mod_dimension"].items()},
+        "window_size": {k: int(v) for k, v in kwargs["window_size"].items()},
+        "epoch": int(kwargs["epoch"]),
+        "scheduler": {k: float(v) if k != "num_bad" else int(v)
+                      for k, v in kwargs["scheduler_state"].items()},
+        "best_ccc": float(kwargs["best_ccc"]),
+    }
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, arrays, force=True)
+    with open(os.path.join(path, "mmtx_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_train_state_orbax(path: str) -> Dict[str, Any]:
+    import json
+
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        arrays = ckptr.restore(path)
+    with open(os.path.join(path, "mmtx_meta.json")) as f:
+        meta = json.load(f)
+    return {**arrays, **meta}

@@ -136,3 +136,25 @@ def test_profiler_trace_writes_output(tmp_path):
     # jax writes plugins/profile/<ts>/*.trace.json.gz (or .pb) under the dir
     found = list(tmp_path.rglob("*"))
     assert any(p.is_file() for p in found), found
+
+
+def test_orbax_train_state_roundtrip(tmp_path):
+    import shutil
+    from multimodal_transformer_tpu.engine.checkpoint import (
+        load_train_state_orbax, save_train_state_orbax)
+    params = {"w": np.full((2, 3), 1.5, np.float32)}
+    opt = {"step": np.int32(9), "m": {"w": np.zeros((2, 3), np.float32)},
+           "v": {"w": np.ones((2, 3), np.float32)}}
+    path = str(tmp_path / "orbax_state")
+    save_train_state_orbax(path, params=params, opt_state=opt, epoch=3,
+                           scheduler_state={"lr": 5e-5, "best": 0.1,
+                                            "num_bad": 7},
+                           best_ccc=0.42, modalities=["acoustic"],
+                           mod_dimension={"acoustic": 88},
+                           window_size={"acoustic": 1, "ratings": 1})
+    st = load_train_state_orbax(path)
+    assert st["epoch"] == 3 and st["best_ccc"] == pytest.approx(0.42)
+    assert st["scheduler"]["num_bad"] == 7
+    np.testing.assert_array_equal(st["model"]["w"], params["w"])
+    np.testing.assert_array_equal(st["opt_state"]["v"]["w"],
+                                  opt["v"]["w"])
