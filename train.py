@@ -65,9 +65,20 @@ def train_one(args, cfg, ckpt_path, logger):
         start_epoch = eng._epoch + 1
         logger.info('Resumed from {} at epoch {} (best CCC {:0.6f})'.format(
             state_path, start_epoch, best_ccc))
+    store = None
+    if args.resident_train:
+        if cfg.mask_mode != "key_query":
+            sys.exit("error: --resident_train requires --mask_mode key_query "
+                     "(full-padded batches are only exact with key masking)")
+        store = eng.upload_dataset(tr_x, tr_y, tr_l)
     for epoch in range(start_epoch, args.epochs + 1):
         print("---")
-        eng.train_epoch(tr_x, tr_y, tr_l, batch_size=args.batch_size, rng=rng)
+        if store is not None:
+            eng.train_epoch_resident(store, batch_size=args.batch_size,
+                                     rng=rng)
+        else:
+            eng.train_epoch(tr_x, tr_y, tr_l, batch_size=args.batch_size,
+                            rng=rng)
         if epoch % args.eval_freq == 0:
             _, _, _, loss, stats, (bo, bt, bi) = eng.evaluate_per_video(
                 va_x, va_y, va_l)
@@ -254,6 +265,11 @@ def build_arg_parser():
                         help='checkpoint dir for --perf sweeps')
     parser.add_argument('--mask_mode', type=str, default="query",
                         choices=["query", "key_query"])
+    parser.add_argument('--resident_train', action='store_true',
+                        default=False,
+                        help='HBM-resident training: upload the split once, '
+                             'gather batches on device (requires '
+                             '--mask_mode key_query; ~5x faster epochs)')
     parser.add_argument('--fast_eval', action='store_true', default=False,
                         help='bucketed static-shape batched eval (few XLA '
                              'programs instead of one per video length; '
