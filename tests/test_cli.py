@@ -64,3 +64,20 @@ def test_train_eval_perf_cycle(workdir):
     assert (perf["Combination"] == "LV").all()
     # 3 train + 2 valid + 2 test videos
     assert len(perf) == 7
+
+
+def test_fast_eval_and_resident_train_flags(workdir):
+    """New-flag coverage: --resident_train trains (key_query) and --fast_eval
+    evaluates the checkpoint via the bucketed path."""
+    args = _args(workdir, ["--family", "B2-Trans", "--epochs", "2",
+                           "--lr", "1e-3", "--resident_train",
+                           "--mask_mode", "key_query",
+                           "--save_dir", str(workdir / "ModelSaveR")])
+    best = cli.main(args)
+    assert np.isfinite(best)
+    ckpt = workdir / "ModelSaveR" / "B2-Trans" / "B2-Trans-VL.ckpt"
+    assert ckpt.exists()
+    args = _args(workdir, ["--family", "B2-Trans", "--test", "--fast_eval",
+                           "--load", str(ckpt)])
+    stats = cli.main(args)
+    assert np.isfinite(stats["ccc"])
