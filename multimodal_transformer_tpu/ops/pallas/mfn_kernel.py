@@ -22,16 +22,19 @@ Weight layout notes: W_hh passed pre-transposed [H, 4H]; gate MLP weights
 pre-transposed [in, out] so every in-kernel matmul is plain row-major.
 
 MEASURED RESULT (v5e-1, B=32, T=160, A+V+L, fp32): the XLA lax.scan wins.
-    lax.scan                1.5-1.7 ms
+    lax.scan                1.4-1.7 ms
     this kernel (unpadded)  1.9 ms
     gate-aligned variant    2.0 ms   (128-lane padded hidden blocks)
     K-chunked grid (K<=32)  1.9-2.1 ms
-Neither lane alignment nor amortizing grid steps closes the gap — XLA's
-fused while-loop keeps this small recurrence entirely in registers/VMEM with
-less fixed overhead than pallas_call's per-block pipeline.  The kernels are
-kept correct + tested as the scaling path for much larger MFN configs (where
-weight residency wins), and as documentation of the exploration; production
-dispatch uses the scan (MMTX_PALLAS_MFN=1 opts in).
+    concat-free body        2.1 ms   (cstar/both as persistent scratch,
+                                      aligned segment stores, zero concats)
+Ruled out by experiment: per-grid-step overhead (a minimal h=tanh(hW+x)
+recurrence runs FASTER as a pallas grid than as lax.scan — 0.13 vs 0.18
+us/step), lane misalignment, and in-body concatenates.  The residual gap is
+Mosaic codegen on the step's ~9 small mixed-width matmuls vs XLA's fused
+while-loop body.  The kernels are kept correct + tested as the scaling path
+for much larger MFN configs and as documentation of the exploration;
+production dispatch uses the scan (MMTX_PALLAS_MFN=1 opts in).
 """
 
 from __future__ import annotations
