@@ -81,3 +81,21 @@ def test_fast_eval_and_resident_train_flags(workdir):
                            "--load", str(ckpt)])
     stats = cli.main(args)
     assert np.isfinite(stats["ccc"])
+
+
+def test_eval_writes_pred_save_for_golden_video(workdir, monkeypatch):
+    """--eval dumps the (time,pred,actual) PredSave CSV for the configured
+    golden video when present (reference SFT/train.py:600-615 schema)."""
+    ckpt = workdir / "ModelSave" / "B2-Trans" / "B2-Trans-VL.ckpt"
+    assert ckpt.exists()  # from the train test
+    # fixture videos are IDs 100+; point the golden-vid map at one of them
+    monkeypatch.setitem(cli.PRED_SAVE_VIDEO, "Valid", "100_1")
+    args = _args(workdir, ["--family", "B2-Trans", "--eval",
+                           "--load", str(ckpt)])
+    cli.main(args)
+    csv_path = workdir / "PredSave" / "B2-Trans100_1.csv"
+    assert csv_path.exists()
+    df = pd.read_csv(csv_path)
+    assert list(df.columns) == ["time", "pred", "actual"]
+    assert (df["time"] == np.arange(len(df))).all()
+    assert len(df) > 3
