@@ -160,8 +160,21 @@ def eval_mode(args, logger):
 
 
 def perf_mode(args, logger):
-    """PerfSave sweep (reference Performance-Eval/train.py:529-573)."""
+    """PerfSave sweep (reference Performance-Eval/train.py:529-573).
+
+    Windowed splits are cached across checkpoints: a 6-checkpoint MFT sweep
+    re-evaluates the same 3 splits per checkpoint, and the reference reloads
+    + rewindows every time (Performance-Eval/train.py:552-555)."""
     out = os.path.basename(os.path.normpath(args.model_save))
+    data_cache = {}
+
+    def cached_prepare(cfg, eval_dir, lvar):
+        key = (cfg.modalities, tuple(sorted(cfg.mod_dimension.items())),
+               tuple(sorted(cfg.window_size.items())), eval_dir, lvar)
+        if key not in data_cache:
+            data_cache[key] = prepare_data(cfg, args.data_dir, eval_dir,
+                                           lvar)
+        return data_cache[key]
     for root, _, files in os.walk(args.model_save):
         for name in sorted(files):
             if not name.endswith((".ckpt", ".pth")):
@@ -204,8 +217,7 @@ def perf_mode(args, logger):
                 cfg = cfg0
                 lvar = ("bert" if family == "B1-LSTM"
                         and cfg.variant != "legacy" else "glove")
-                ds, x, y, lens = prepare_data(cfg, args.data_dir, eval_dir,
-                                              lvar)
+                ds, x, y, lens = cached_prepare(cfg, eval_dir, lvar)
                 eng = Engine(cfg, logger=logger)
                 eng.params = params
                 if args.fast_eval:
