@@ -36,26 +36,48 @@ FRAMES = {"linguistic": 32, "acoustic": 4, "image": 4}
 MODS = ("acoustic", "image", "linguistic")
 
 
-def make_host_batch(cfg, seed=0):
+def make_host_batch(cfg, seed=0, batch=None):
+    B = batch or BATCH
     rs = np.random.RandomState(seed)
-    data = {m: rs.randn(BATCH, T, FRAMES[m], cfg.mod_dimension[m])
+    data = {m: rs.randn(B, T, FRAMES[m], cfg.mod_dimension[m])
             .astype(np.float32) for m in MODS}
-    lengths = [T - (i % 5) for i in range(BATCH)]
-    mask = np.zeros((BATCH, T, 1), np.float32)
+    lengths = [T - (i % 5) for i in range(B)]
+    mask = np.zeros((B, T, 1), np.float32)
     for i, ln in enumerate(lengths):
         mask[i, :ln] = 1.0
     return data, mask
 
 
-def measure_tpu(n_warmup=5, n_iter=50):
+V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak FLOP/s
+
+
+def measure_tpu(n_chain=(10, 40), n_timed=3, batch=None):
+    """Steady-state eval throughput with CHAINED iterations, slope-timed.
+
+    Round-1's loop dispatched n independent async calls and blocked only on
+    the last — over the remote tunnel that overlapped/elided work and
+    produced >100%-MFU numbers (VERDICT round 1).  Honest methodology:
+
+      * one jitted program runs n forwards in a lax.fori_loop where EVERY
+        modality's input at step i+1 depends on step i's output — a real,
+        un-foldable add on all branches, so XLA can neither overlap
+        iterations nor hoist any per-modality encoder out of the loop
+        (perturbing only one modality lets LICM hoist the other two);
+      * timing fetches the result to host (np.asarray) — on the remote
+        backend block_until_ready() returns before execution finishes;
+      * per-forward time is the SLOPE between two chain lengths, which
+        cancels the constant tunnel RTT + transfer overhead.
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from multimodal_transformer_tpu.models import build_model, default_config
 
+    B = batch or BATCH
     cfg = default_config("MFT", MODS, mask_mode="key_query")
     init, apply = build_model(cfg)
     params = init(jax.random.PRNGKey(0))
-    data_np, mask_np = make_host_batch(cfg)
+    data_np, mask_np = make_host_batch(cfg, batch=B)
     data = {m: jnp.asarray(v) for m, v in data_np.items()}
     mask = jnp.asarray(mask_np)
     if os.environ.get("MMTX_BF16", "1") != "0":
@@ -68,17 +90,54 @@ def measure_tpu(n_warmup=5, n_iter=50):
         params, data, mask = cast(params), cast(data), mask.astype(
             jnp.bfloat16)
 
-    fwd = jax.jit(lambda p, d, m: apply(p, d, m, rng=None))
-    for _ in range(n_warmup):
-        out = fwd(params, data, mask)
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fwd(params, data, mask)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    eps = jnp.asarray(1e-30, data[MODS[0]].dtype)
+
+    def make_chain(n):
+        def chain(params, data, mask):
+            def body(_, carry):
+                # feed the previous output back into EVERY modality:
+                # numerically a no-op (pred*1e-30 under-flows against
+                # unit-scale features) but a hard data dependency on all
+                # branches — nothing is loop-invariant, nothing overlaps
+                d = {m: v + carry[:, :, None, :].astype(v.dtype) * eps
+                     for m, v in data.items()}
+                return apply(params, d, mask, rng=None)
+            return lax.fori_loop(0, n, body,
+                                 jnp.zeros(mask.shape, mask.dtype))
+        return jax.jit(chain).lower(params, data, mask).compile()
+
+    # FLOP count from the UNCHAINED forward: XLA's cost analysis counts a
+    # While body once (not x trip count), so the chained program reports the
+    # same total as one forward — verified on v5e (188 GFLOP @ B=32 both
+    # ways, = 5.88 GFLOP/seq, consistent with the analytic estimate).
+    flops_per_batch = None
+    try:
+        ca = jax.jit(lambda p, d, m: apply(p, d, m, rng=None)).lower(
+            params, data, mask).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        if ca and ca.get("flops"):
+            flops_per_batch = float(ca["flops"])
+    except Exception:
+        pass
+
+    n1, n2 = n_chain
+    times = []
+    for n in (n1, n2):
+        compiled = make_chain(n)
+        np.asarray(compiled(params, data, mask))  # warmup + fetch
+        best = float("inf")
+        for _ in range(n_timed):
+            t0 = time.perf_counter()
+            np.asarray(compiled(params, data, mask))
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    per_fwd = (times[1] - times[0]) / (n2 - n1)
+    seq_per_s = B / per_fwd
+    mfu = (flops_per_batch * (seq_per_s / B) / V5E_BF16_PEAK
+           if flops_per_batch else None)
     dev = jax.devices()[0]
-    return BATCH * n_iter / dt, str(dev)
+    return seq_per_s, mfu, flops_per_batch, str(dev)
 
 
 def measure_cpu_baseline(n_iter=2):
@@ -119,7 +178,9 @@ def measure_cpu_baseline(n_iter=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure-baseline", action="store_true")
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=40,
+                    help="longer of the two chained program lengths")
+    ap.add_argument("--batch", type=int, default=None)
     args = ap.parse_args()
 
     if args.measure_baseline or not os.path.exists(BASELINE_CACHE):
@@ -133,13 +194,19 @@ def main():
         with open(BASELINE_CACHE) as f:
             baseline = json.load(f)["cpu_seq_per_s"]
 
-    seq_per_s, dev = measure_tpu(n_iter=args.iters)
-    print(json.dumps({
-        "metric": "eval sequences/sec/chip (MFT AVL, batch=32)",
+    B = args.batch or BATCH
+    seq_per_s, mfu, flops_per_batch, dev = measure_tpu(
+        n_chain=(max(args.iters // 4, 2), args.iters), batch=B)
+    line = {
+        "metric": f"eval sequences/sec/chip (MFT AVL, batch={B})",
         "value": round(seq_per_s, 2),
         "unit": "seq/s/chip",
         "vs_baseline": round(seq_per_s / baseline, 2),
-    }))
+    }
+    if mfu is not None:
+        line["mfu"] = round(mfu, 4)
+        line["flops_per_seq"] = round(flops_per_batch / B)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -44,7 +44,7 @@ def frontend_apply(params, inputs, mods, *, rng=None, dropout_p: float = 0.3,
             else [None] * len(mods))
     # Fused Pallas forward on TPU; grad-capable via custom_vjp (backward
     # rematerializes through the jnp path), so it serves train + eval.
-    use_fused = not relu_proj and pallas_enabled()
+    use_fused = not relu_proj and pallas_enabled("wembed")
     for mod, mod_rng in zip(mods, rngs):
         if use_fused and inputs[mod].shape[2] >= 2:
             from ..ops.pallas.window_embed import (

@@ -64,7 +64,7 @@ def multi_head_attention(params, query, key, value, mask=None, *, h: int,
     # masked out downstream by every model head.
     from .dispatch import pallas_enabled
     if (rng is None and mask is not None and mask_mode == "key_query"
-            and pallas_enabled()):
+            and pallas_enabled("attn")):
         from .pallas.attention import flash_attention_masked
         Tk = key.shape[1]
         qf = q.reshape(B * h, Tq, d_k)

@@ -86,13 +86,12 @@ def mfn_scan(params, inputs, mods, *, rng=None):
 
     # Pallas full-recurrence kernel (ops/pallas/mfn_kernel.py): the whole
     # T-step loop inside one kernel with VMEM-resident carries/weights.
-    # Opt-in (MMTX_PALLAS_MFN=1): measured on v5e, the XLA scan is currently
-    # FASTER (1.9 ms vs 3.0 ms at B=32, T=160, A+V+L) because the MFN's
-    # 88/48/16 hidden dims land badly on the 128-lane layout; the kernel
-    # needs gate-aligned weight packing before it wins.  Kept correct +
-    # tested for that follow-up.
-    import os
-    if rng is None and os.environ.get("MMTX_PALLAS_MFN") == "1":
+    # Default ON for TPU eval: honestly measured 0.30 ms vs 0.53 ms for this
+    # scan (slope-timed chained forwards, examples/bench_mfn_kernel.py) and
+    # +7.7% end-to-end on the MFT bench.  MMTX_PALLAS_MFN=0 opts out.
+    # Training keeps the differentiable scan (kernel has no custom VJP).
+    from .dispatch import pallas_enabled
+    if rng is None and pallas_enabled("mfn"):
         from .pallas.mfn_kernel import mfn_scan_pallas
         all_hs_b, all_mems_b = mfn_scan_pallas(params, inputs, mods)
         feats = jnp.concatenate([all_hs_b, all_mems_b], axis=2)  # [B,T,.]

@@ -21,20 +21,18 @@ Eval path only (the training path keeps the differentiable lax.scan).
 Weight layout notes: W_hh passed pre-transposed [H, 4H]; gate MLP weights
 pre-transposed [in, out] so every in-kernel matmul is plain row-major.
 
-MEASURED RESULT (v5e-1, B=32, T=160, A+V+L, fp32): the XLA lax.scan wins.
-    lax.scan                1.4-1.7 ms
-    this kernel (unpadded)  1.9 ms
-    gate-aligned variant    2.0 ms   (128-lane padded hidden blocks)
-    K-chunked grid (K<=32)  1.9-2.1 ms
-    concat-free body        2.1 ms   (cstar/both as persistent scratch,
-                                      aligned segment stores, zero concats)
-Ruled out by experiment: per-grid-step overhead (a minimal h=tanh(hW+x)
-recurrence runs FASTER as a pallas grid than as lax.scan — 0.13 vs 0.18
-us/step), lane misalignment, and in-body concatenates.  The residual gap is
-Mosaic codegen on the step's ~9 small mixed-width matmuls vs XLA's fused
-while-loop body.  The kernels are kept correct + tested as the scaling path
-for much larger MFN configs and as documentation of the exploration;
-production dispatch uses the scan (MMTX_PALLAS_MFN=1 opts in).
+MEASURED RESULT (round 2, v5e-1, B=32, T=160, A+V+L, fp32; honest
+methodology — chained forwards, host-fetch timing, slope between two chain
+lengths, examples/bench_mfn_kernel.py): THE KERNEL WINS.
+    lax.scan                0.53 ms
+    this kernel (unpadded)  0.31 ms   (1.7x)
+    gate-aligned variant    0.30 ms
+Round 1 concluded the opposite (scan 1.4-1.7 ms vs kernel 1.9-2.1 ms) from
+per-call dispatch timing over the remote tunnel; both absolute numbers and
+the ranking were measurement artifacts (async dispatch + block_until_ready
+returning early on the remote backend).  Production dispatch now defaults
+to this kernel for TPU eval (+7.7% end-to-end on the MFT bench;
+MMTX_PALLAS_MFN=0 opts out); training keeps the differentiable lax.scan.
 """
 
 from __future__ import annotations
@@ -120,8 +118,10 @@ def _mfn_kernel(mods: Sequence[str], hidden: Dict[str, int], mem_dim: int,
     mem_new = g1 * mem_s[:] + g2 * c_hat
     mem_s[:] = mem_new
 
-    hs_out[0] = jnp.concatenate(hs_parts, axis=1)
-    mem_out[0] = mem_new
+    # compute runs fp32 (scratch + preferred_element_type); outputs take the
+    # caller's dtype (bf16 serving mode casts on store)
+    hs_out[0] = jnp.concatenate(hs_parts, axis=1).astype(hs_out.dtype)
+    mem_out[0] = mem_new.astype(mem_out.dtype)
 
 
 def mfn_scan_pallas(params, inputs, mods, *, interpret: bool = False):
@@ -319,8 +319,8 @@ def _mfn_kernel_aligned(n_mods: int, *refs):
     g2 = jax.nn.sigmoid(mlp(both, g2w1, g2b1, g2w2, g2b2))
     mem_new = g1 * mem_s[:] + g2 * c_hat
     mem_s[:] = mem_new
-    hs_out[0] = jnp.concatenate(hs_parts, axis=1)
-    mem_out[0] = mem_new
+    hs_out[0] = jnp.concatenate(hs_parts, axis=1).astype(hs_out.dtype)
+    mem_out[0] = mem_new.astype(mem_out.dtype)
 
 
 def mfn_scan_pallas_aligned(params, inputs, mods, *,

@@ -99,7 +99,7 @@ def test_mha_dispatch_uses_flash_and_matches(monkeypatch):
     import multimodal_transformer_tpu.ops.dispatch as dispatch
     import multimodal_transformer_tpu.ops.pallas.attention as pattn
 
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda: True)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
     orig = pattn.flash_attention_masked
     monkeypatch.setattr(
         pattn, "flash_attention_masked",
@@ -114,7 +114,7 @@ def test_mha_dispatch_uses_flash_and_matches(monkeypatch):
     mask[1, 6:] = 0
     got = multi_head_attention(p, x, x, x, jnp.asarray(mask), h=h,
                                mask_mode="key_query")
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda: False)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
     want = multi_head_attention(p, x, x, x, jnp.asarray(mask), h=h,
                                 mask_mode="key_query")
     np.testing.assert_allclose(np.asarray(got)[0], np.asarray(want)[0],
