@@ -99,3 +99,50 @@ def test_eval_writes_pred_save_for_golden_video(workdir, monkeypatch):
     assert list(df.columns) == ["time", "pred", "actual"]
     assert (df["time"] == np.arange(len(df))).all()
     assert len(df) > 3
+
+
+def test_b1_multimodal_window_lift(workdir):
+    """B1's reference config (1-s acoustic/image vs 5-s rating windows) makes
+    oversample = int(1/5) = 0, which the reference silently turns into zero
+    windows per video (B1-LSTM/train.py:375-396).  train.py lifts 1-s feature
+    channels to the rating resolution so the PerfSave B1 multimodal combos
+    (A/V/AL/AV/ALV) are actually trainable; --window_size overrides."""
+    import logging
+
+    from multimodal_transformer_tpu.engine import load_checkpoint
+    from multimodal_transformer_tpu.models import default_config
+
+    # the lift itself, unit level: acoustic 1s -> 5s, linguistic already 5s
+    cfg = default_config("B1-LSTM", ("acoustic", "linguistic"))
+    lifted = cli.apply_window_override(cfg, None, logging.getLogger("t"))
+    assert lifted.window_size["acoustic"] == 5
+    assert lifted.window_size["linguistic"] == 5
+    assert lifted.window_size["ratings"] == 5
+
+    # windowing shapes: 18-s videos / 5-s windows -> 3 windows per video
+    data_dir = workdir / "SENDv1-data"
+    generate_synthetic_send(str(data_dir), {"Train": 3, "Valid": 2,
+                                            "Test": 2},
+                            duration_s=18.0, seed=7,
+                            modalities=("linguistic",),
+                            linguistic_variant="bert")
+    _, x, y, lens = cli.prepare_data(lifted, str(data_dir), "Train", "bert")
+    assert y.shape == (3, 4)                      # [V, W]: 18 s / 5-s windows
+    assert x["acoustic"].shape[:2] == (3, 4)      # [V, W, F, D]
+    assert x["acoustic"].shape[3] == 88
+    assert x["linguistic"].shape[3] == 1024
+
+    # end to end: train a B1 AL combo and check the metadata carries the lift
+    args = _args(workdir, ["--family", "B1-LSTM", "--comb", "AL",
+                           "--epochs", "1", "--lr", "1e-3"])
+    best = cli.main(args)
+    assert np.isfinite(best)
+    ck = load_checkpoint(str(workdir / "ModelSave" / "B1-LSTM" /
+                             "B1-LSTM-AL.ckpt"))
+    assert int(ck["window_size"]["acoustic"]) == 5
+
+    # explicit --window_size spec beats the preset
+    cfg2 = cli.apply_window_override(
+        default_config("B1-LSTM", ("acoustic", "linguistic")),
+        "acoustic=10,ratings=5", logging.getLogger("t"))
+    assert cfg2.window_size["acoustic"] == 10

@@ -43,6 +43,43 @@ def comb_string(modalities) -> str:
     return "".join(letters[m] for m in modalities if m in letters)
 
 
+def apply_window_override(cfg, spec, logger):
+    """Resolve --window_size and the B1 multimodal preset.
+
+    spec: None, "N" (all channels = N seconds), or "chan=N,chan=N,...".
+    Without a spec, B1-LSTM lifts any 1-s feature channel to the 5-s rating
+    resolution: the reference's B1 config (B1-LSTM/train.py:529) makes
+    oversample = int(1/5) = 0 for acoustic/image/emotient, which silently
+    yields zero windows per video (B1-LSTM/train.py:375-396) — yet its
+    PerfSave table has A/V/AL/AV/ALV rows, so the multimodal checkpoints
+    must have carried compatible window sizes in their metadata.  Lifting
+    to the rating window is the consistent way to train those combos."""
+    import dataclasses
+
+    ws = dict(cfg.window_size)
+    if spec is None:
+        if cfg.family == "B1-LSTM":
+            r = ws["ratings"]
+            lifted = sorted(m for m in cfg.modalities if ws.get(m, r) < r)
+            if lifted:
+                ws.update({m: r for m in lifted})
+                logger.info("B1 multimodal: lifting window_size of %s to "
+                            "%gs (rating resolution); --window_size "
+                            "overrides", lifted, r)
+                return dataclasses.replace(cfg, window_size=ws)
+        return cfg
+    if "=" not in spec:
+        ws = {k: int(spec) for k in ws}
+    else:
+        for part in spec.split(","):
+            k, v = part.split("=")
+            if k.strip() not in ws:
+                sys.exit(f"error: --window_size: unknown channel {k!r} "
+                         f"(have {sorted(ws)})")
+            ws[k.strip()] = int(v)
+    return dataclasses.replace(cfg, window_size=ws)
+
+
 def prepare_data(cfg, data_dir, subset, linguistic_variant="glove"):
     ds = load_send(list(cfg.modalities), data_dir, subset,
                    linguistic_variant=linguistic_variant)
@@ -277,6 +314,13 @@ def build_arg_parser():
                         help='checkpoint dir for --perf sweeps')
     parser.add_argument('--mask_mode', type=str, default="query",
                         choices=["query", "key_query"])
+    parser.add_argument('--window_size', type=str, default=None,
+                        help='override channel window seconds: a single '
+                             'number for all channels, or "chan=N,chan=N" '
+                             '(channels: modalities + ratings).  Without '
+                             'it, B1-LSTM lifts 1-s feature channels to '
+                             'the 5-s rating window so multimodal combos '
+                             'are trainable')
     parser.add_argument('--resident_train', action='store_true',
                         default=False,
                         help='HBM-resident training: upload the split once, '
@@ -338,6 +382,7 @@ def main(args):
                 cfg = default_config("MFT", modalities_from_comb(comb),
                                      acoustic_embed=a_dim,
                                      mask_mode=args.mask_mode)
+                cfg = apply_window_override(cfg, args.window_size, logger)
                 ckpt = os.path.join(args.save_dir, "MFT", name)
                 best = max(best, train_one(args, cfg, ckpt, logger))
         return best
@@ -349,6 +394,7 @@ def main(args):
     mods = (tuple(args.modalities) if args.modalities
             else modalities_from_comb(comb))
     cfg = default_config(family, mods, mask_mode=args.mask_mode)
+    cfg = apply_window_override(cfg, args.window_size, logger)
     # keep the user's comb spelling in the filename (reference names are
     # comb-as-typed, e.g. SFT-VL.pth, MFT-VAL-88.pth)
     name = f"{family}-{comb if args.comb else comb_string(mods)}.ckpt"
