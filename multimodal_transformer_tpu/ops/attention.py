@@ -21,9 +21,11 @@ Faithful TPU-native reimplementation of the reference encoder
   * N layers initialized *identically* (the reference `clones()` deep-copies
     one initialized layer, multiTransformer.py:78-79).
 
-Everything here is plain jnp: at SEND scale (B<=32, T<=~350, D=256) XLA fuses
-the whole block efficiently; the Pallas fused-attention kernel in
-ops/pallas/encoder_block.py is used on TPU for larger shapes.
+Everything here is plain jnp by default: at SEND scale (B<=32, T<=~350,
+D=256) XLA fuses the whole block efficiently and honestly out-measures the
+Pallas flash kernel (ops/dispatch.py table).  The blockwise flash kernel in
+ops/pallas/attention.py is opt-in (MMTX_PALLAS_ATTN=1) for long-sequence
+configs, on both eval and (dropout-free) training via its remat custom_vjp.
 """
 
 from __future__ import annotations
@@ -59,19 +61,23 @@ def multi_head_attention(params, query, key, value, mask=None, *, h: int,
     k = proj(params["linears"][1], key)     # [B, h, Tk, d_k]
     v = proj(params["linears"][2], value)   # [B, h, Tk, d_k]
 
-    # Pallas flash path: inference, clean key-masked mode, TPU.  Padded query
-    # rows differ from the jnp path (uniform-vs-normal attention) but are
-    # masked out downstream by every model head.
+    # Pallas flash path (opt-in, MMTX_PALLAS_ATTN=1): clean key-masked mode
+    # on TPU.  Serves eval (rng=None) and dropout-free training — its remat
+    # custom_vjp makes it differentiable, but it has no attention-prob
+    # dropout, so training with dropout_p > 0 keeps the jnp path.  Padded
+    # query rows differ from the jnp path (normal-vs-uniform attention) but
+    # are masked out downstream by every model head.
     from .dispatch import pallas_enabled
-    if (rng is None and mask is not None and mask_mode == "key_query"
+    if (mask is not None and mask_mode == "key_query"
+            and (rng is None or dropout_p == 0.0)
             and pallas_enabled("attn")):
-        from .pallas.attention import flash_attention_masked
+        from .pallas.attention import flash_attention_trainable
         Tk = key.shape[1]
         qf = q.reshape(B * h, Tq, d_k)
         kf = k.reshape(B * h, Tk, d_k)
         vf = v.reshape(B * h, Tk, d_k)
         kmask = jnp.repeat(mask[:, :, 0], h, axis=0)  # [B*h, Tk]
-        xf = flash_attention_masked(qf, kf, vf, kmask)
+        xf = flash_attention_trainable(qf, kf, vf, kmask)
         x = xf.reshape(B, h, Tq, d_k).transpose(0, 2, 1, 3).reshape(B, Tq, D)
         return linear(params["linears"][3], x)
 

@@ -101,3 +101,44 @@ def flash_attention_masked(q, k, v, kmask, *, blk_q: int = 128,
         ),
     )(q, k, v, kmask3)
     return out[:, :Tq, :]
+
+
+# ------------------------------------------------------------- training path
+# custom_vjp wrapper (same pattern as window_embed.py): the Pallas kernel
+# serves the forward; the backward rematerializes through the dense jnp
+# key-masked attention, whose autodiff is exact for every VALID query row.
+# Padded query rows differ between the two forwards (kernel: normal
+# attention over valid keys; dense reference: also normal — both apply only
+# the key mask here), and their cotangents are zeroed by the model's output
+# masking anyway.  kmask gets a zero cotangent (it only feeds a comparison).
+
+
+def _dense_key_masked(q, k, v, kmask):
+    dk = q.shape[-1]
+    s = jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(
+        jnp.asarray(dk, q.dtype))
+    s = jnp.where(kmask[:, None, :] == 0, NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, v)
+
+
+@jax.custom_vjp
+def flash_attention_trainable(q, k, v, kmask):
+    """Differentiable flash attention: Pallas forward, remat jnp backward.
+
+    Same signature/semantics as flash_attention_masked (no attention-prob
+    dropout — callers gate dispatch on dropout_p == 0 or rng is None)."""
+    return flash_attention_masked(q, k, v, kmask)
+
+
+def _fa_fwd(q, k, v, kmask):
+    return flash_attention_masked(q, k, v, kmask), (q, k, v, kmask)
+
+
+def _fa_bwd(res, g):
+    q, k, v, kmask = res
+    _, vjp = jax.vjp(_dense_key_masked, q, k, v, kmask)
+    return vjp(g)
+
+
+flash_attention_trainable.defvjp(_fa_fwd, _fa_bwd)

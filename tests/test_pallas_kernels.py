@@ -200,3 +200,77 @@ def test_window_embed_trainable_grads_match_jnp(monkeypatch):
                                 jax.tree_util.tree_leaves_with_path(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5, err_msg=str(ka))
+
+
+def test_flash_attention_custom_vjp_grad_parity(monkeypatch):
+    """Flash kernel forward + remat backward must match the dense jnp
+    key-masked path's gradients at 1e-5 (cotangents zeroed on padded query
+    rows, as every model head does via output masking)."""
+    import multimodal_transformer_tpu.ops.pallas.attention as pattn
+
+    orig = pattn.flash_attention_masked
+    monkeypatch.setattr(
+        pattn, "flash_attention_masked",
+        lambda *a, **kw: orig(*a, **{**kw, "blk_q": 4, "blk_k": 4,
+                                     "interpret": True}))
+
+    rs = np.random.RandomState(11)
+    BH, T, dk = 3, 10, 8
+    q = jnp.asarray(rs.randn(BH, T, dk).astype(np.float32))
+    k = jnp.asarray(rs.randn(BH, T, dk).astype(np.float32))
+    v = jnp.asarray(rs.randn(BH, T, dk).astype(np.float32))
+    kmask_np = np.ones((BH, T), np.float32)
+    kmask_np[1, 7:] = 0
+    kmask_np[2, 4:] = 0
+    kmask = jnp.asarray(kmask_np)
+    # non-trivial cotangent, zeroed on padded (query) rows
+    cot = jnp.asarray(rs.randn(BH, T, dk).astype(np.float32)) \
+        * kmask[:, :, None]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(pattn.flash_attention_trainable(q, k, v, kmask) * cot)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(pattn._dense_key_masked(q, k, v, kmask) * cot)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_mha_training_dispatch_flash_grad_parity(monkeypatch):
+    """End-to-end MHA param gradients with the flash path dispatched
+    (dropout-free training) vs the jnp path."""
+    import multimodal_transformer_tpu.ops.dispatch as dispatch
+    import multimodal_transformer_tpu.ops.pallas.attention as pattn
+
+    orig = pattn.flash_attention_masked
+    monkeypatch.setattr(
+        pattn, "flash_attention_masked",
+        lambda *a, **kw: orig(*a, **{**kw, "blk_q": 4, "blk_k": 4,
+                                     "interpret": True}))
+
+    key = jax.random.PRNGKey(5)
+    B, T, D, h = 2, 9, 32, 4
+    p = mha_init(key, D)
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(B, T, D).astype(np.float32))
+    mask_np = np.ones((B, T, 1), np.float32)
+    mask_np[1, 6:] = 0
+    mask = jnp.asarray(mask_np)
+
+    def loss(p):
+        out = multi_head_attention(p, x, x, x, mask, h=h,
+                                   mask_mode="key_query",
+                                   rng=jax.random.PRNGKey(0), dropout_p=0.0)
+        return jnp.sum((out * mask) ** 2)
+
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
+    got = jax.grad(loss)(p)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
+    want = jax.grad(loss)(p)
+    jax.tree_util.tree_map(
+        lambda g, w: np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=1e-5), got, want)
