@@ -146,3 +146,34 @@ def test_b1_multimodal_window_lift(workdir):
         default_config("B1-LSTM", ("acoustic", "linguistic")),
         "acoustic=10,ratings=5", logging.getLogger("t"))
     assert cfg2.window_size["acoustic"] == 10
+
+
+def test_parity_replay_harness(workdir):
+    """parity_replay.py diff logic on the synthetic fixture: replaying the
+    checkpoint that produced a PerfSave CSV matches it exactly; a corrupted
+    reference row fails (VERDICT r1 #5 — the real-data gate is this script
+    pointed at PerfSave/B1-LSTM.csv + B1-LSTM-L.pth)."""
+    import parity_replay as pr
+
+    ckpt = workdir / "ModelSave" / "B2-Trans" / "B2-Trans-VL.ckpt"
+    perf_csv = workdir / "PerfSave" / "B2-Trans.csv"
+    assert ckpt.exists() and perf_csv.exists()  # from the train/perf test
+
+    ok, rows = pr.replay_and_diff(str(ckpt), str(perf_csv),
+                                  str(workdir / "SENDv1-data"),
+                                  ["Valid", "Test"], tolerance=1e-6)
+    assert ok
+    compared = [r for r in rows if r[4] is not None]
+    assert len(compared) == 4  # 2 Valid + 2 Test fixture videos
+    assert max(r[4] for r in compared) <= 1e-6
+
+    # corrupt one Valid row -> the gate must fail
+    df = pd.read_csv(perf_csv)
+    bad = df[df["Set"] == "Valid"].index[0]
+    df.loc[bad, "CCC"] = float(df.loc[bad, "CCC"]) + 0.5
+    corrupted = workdir / "PerfSave" / "B2-Trans-corrupted.csv"
+    df.to_csv(corrupted, index=False)
+    ok2, _ = pr.replay_and_diff(str(ckpt), str(corrupted),
+                                str(workdir / "SENDv1-data"),
+                                ["Valid"], tolerance=1e-6)
+    assert not ok2

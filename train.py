@@ -196,6 +196,42 @@ def eval_mode(args, logger):
     return stats
 
 
+def parse_ckpt_name(name):
+    """{family}-{comb}[-{acoustic_dim}].{ckpt|pth} -> (family, comb,
+    acoustic_dim, model_str); family may contain '-' (B1-LSTM).
+    Reference filename parse: Performance-Eval/train.py:533-545."""
+    parts = name.rsplit(".", 1)[0].split("-")
+    acoustic_dim = 88
+    if parts[-1].isdigit():
+        acoustic_dim = int(parts[-1])
+        comb = parts[-2]
+        model_str = "-".join(parts[:-2]) + "-" + parts[-1]
+        family = "-".join(parts[:-2])
+    else:
+        comb = parts[-1]
+        model_str = "-".join(parts[:-1])
+        family = model_str
+    return family, comb, acoustic_dim, model_str
+
+
+def load_any_checkpoint(path, family, acoustic_dim=88, mask_mode="query"):
+    """Load a .ckpt (msgpack, config from metadata —
+    Performance-Eval/train.py:548-551 semantics) or .pth (torch, converted
+    via engine/convert.py).  Returns (cfg, params)."""
+    if path.endswith(".pth"):
+        from multimodal_transformer_tpu.engine.convert import convert_pth
+        cfg, params, _ = convert_pth(path, family, mask_mode=mask_mode)
+        return cfg, params
+    ck = load_checkpoint(path)
+    cfg = default_config(family, ck["modalities"],
+                         acoustic_embed=acoustic_dim, mask_mode=mask_mode)
+    object.__setattr__(cfg, "mod_dimension",
+                       {k: int(v) for k, v in ck["mod_dimension"].items()})
+    object.__setattr__(cfg, "window_size",
+                       {k: int(v) for k, v in ck["window_size"].items()})
+    return cfg, ck["model"]
+
+
 def perf_mode(args, logger):
     """PerfSave sweep (reference Performance-Eval/train.py:529-573).
 
@@ -216,38 +252,12 @@ def perf_mode(args, logger):
         for name in sorted(files):
             if not name.endswith((".ckpt", ".pth")):
                 continue
-            parts = name.rsplit(".", 1)[0].split("-")
-            # {family}-{comb}[-{acoustic_dim}]; family may contain '-' (B1-LSTM)
-            acoustic_dim = 88
-            if parts[-1].isdigit():
-                acoustic_dim = int(parts[-1])
-                comb = parts[-2]
-                model_str = "-".join(parts[:-2]) + "-" + parts[-1]
-                family = "-".join(parts[:-2])
-            else:
-                comb = parts[-1]
-                model_str = "-".join(parts[:-1])
-                family = model_str
+            family, comb, acoustic_dim, model_str = parse_ckpt_name(name)
             mod_str = "".join(sorted(comb))
             mask_mode = "key_query" if args.fast_eval else args.mask_mode
             path = os.path.join(root, name)
-            if name.endswith(".pth"):
-                from multimodal_transformer_tpu.engine.convert import (
-                    convert_pth)
-                cfg0, params, _ = convert_pth(path, family,
-                                              mask_mode=mask_mode)
-            else:
-                ck = load_checkpoint(path)
-                cfg0 = default_config(family, ck["modalities"],
-                                      acoustic_embed=acoustic_dim,
-                                      mask_mode=mask_mode)
-                object.__setattr__(cfg0, "mod_dimension",
-                                   {k: int(v) for k, v in
-                                    ck["mod_dimension"].items()})
-                object.__setattr__(cfg0, "window_size",
-                                   {k: int(v) for k, v in
-                                    ck["window_size"].items()})
-                params = ck["model"]
+            cfg0, params = load_any_checkpoint(path, family, acoustic_dim,
+                                               mask_mode)
             for eval_dir in ["Train", "Valid", "Test"]:
                 print(f"Evaluating {model_str} with {mod_str} performances "
                       f"on {eval_dir}")
