@@ -367,25 +367,37 @@ class Engine:
 
     # ------------------------------------------------------- resume-from-step
 
-    def save_state(self, path: str, best_ccc: float = -1.0) -> None:
+    def save_state(self, path: str, best_ccc: float = -1.0,
+                   backend: str = "msgpack") -> None:
         """Persist full training state (params + Adam moments + scheduler +
         epoch) for preemption-safe resume — a capability the reference lacks
-        (its --load flag is parsed but inert, SURVEY.md §5)."""
-        from .checkpoint import save_train_state
-        save_train_state(
-            path, params=self.params, opt_state=self.opt_state,
-            epoch=self._epoch,
-            scheduler_state={"lr": self.scheduler.lr,
-                             "best": self.scheduler.best,
-                             "num_bad": self.scheduler.num_bad},
-            best_ccc=best_ccc, modalities=self.cfg.modalities,
-            mod_dimension=self.cfg.mod_dimension,
-            window_size=self.cfg.window_size)
+        (its --load flag is parsed but inert, SURVEY.md §5).
 
-    def restore_state(self, path: str) -> float:
-        """Restore from save_state.  Returns the recorded best CCC."""
-        from .checkpoint import load_train_state
-        st = load_train_state(path)
+        backend: "msgpack" (single atomic file, default) or "orbax"
+        (atomic directory commit, multi-host aware)."""
+        from .checkpoint import save_train_state, save_train_state_orbax
+        fn = {"msgpack": save_train_state,
+              "orbax": save_train_state_orbax}[backend]
+        fn(path, params=self.params, opt_state=self.opt_state,
+           epoch=self._epoch,
+           scheduler_state={"lr": self.scheduler.lr,
+                            "best": self.scheduler.best,
+                            "num_bad": self.scheduler.num_bad},
+           best_ccc=best_ccc, modalities=self.cfg.modalities,
+           mod_dimension=self.cfg.mod_dimension,
+           window_size=self.cfg.window_size)
+
+    def restore_state(self, path: str, backend: str = None) -> float:
+        """Restore from save_state (either backend; auto-detected from the
+        on-disk shape — orbax commits are directories).  Returns the
+        recorded best CCC."""
+        import os
+
+        from .checkpoint import load_train_state, load_train_state_orbax
+        if backend is None:
+            backend = "orbax" if os.path.isdir(path) else "msgpack"
+        st = {"msgpack": load_train_state,
+              "orbax": load_train_state_orbax}[backend](path)
         self.params = st["model"]
         self.opt_state = st["opt_state"]
         self._epoch = int(st["epoch"])

@@ -158,3 +158,41 @@ def test_orbax_train_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(st["model"]["w"], params["w"])
     np.testing.assert_array_equal(st["opt_state"]["v"]["w"],
                                   opt["v"]["w"])
+
+
+def test_engine_resume_backend_equivalence(tmp_path):
+    """save_state(msgpack) and save_state(orbax) must restore to identical
+    engine state (params, Adam moments, scheduler, epoch, best CCC) —
+    the --ckpt_backend wiring contract (VERDICT r1 #7)."""
+    import jax
+
+    cfg = default_config("B2-Trans", ("acoustic",))
+    object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
+    eng = Engine(cfg, seed=1)
+    rs = np.random.RandomState(0)
+    x = {"acoustic": rs.randn(4, 6, 3, SMALL_DIMS["acoustic"])
+         .astype(np.float32)}
+    y = rs.rand(4, 6).astype(np.float32)
+    lens = [6, 6, 5, 4]
+    eng.train_epoch(x, y, lens, batch_size=2, rng=np.random.RandomState(1))
+    eng.scheduler_step(0.5)
+
+    mpath = str(tmp_path / "s.state")
+    opath = str(tmp_path / "s_orbax.state")
+    eng.save_state(mpath, best_ccc=0.33, backend="msgpack")
+    eng.save_state(opath, best_ccc=0.33, backend="orbax")
+
+    a, b = Engine(cfg, seed=7), Engine(cfg, seed=8)
+    assert a.restore_state(mpath) == pytest.approx(0.33)
+    assert b.restore_state(opath) == pytest.approx(0.33)  # dir auto-detect
+    assert a._epoch == b._epoch == 1
+    assert a.scheduler.lr == b.scheduler.lr
+    assert a.scheduler.best == b.scheduler.best
+    assert a.scheduler.num_bad == b.scheduler.num_bad
+    for tree_a, tree_b in ((a.params, b.params),
+                           (a.opt_state, b.opt_state)):
+        for (ka, la), (kb, lb) in zip(
+                jax.tree_util.tree_leaves_with_path(tree_a),
+                jax.tree_util.tree_leaves_with_path(tree_b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                          err_msg=str(ka))

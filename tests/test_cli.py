@@ -177,3 +177,17 @@ def test_parity_replay_harness(workdir):
                                 str(workdir / "SENDv1-data"),
                                 ["Valid"], tolerance=1e-6)
     assert not ok2
+
+
+def test_resume_with_orbax_backend(workdir):
+    """CLI roundtrip: --ckpt_backend orbax writes an atomic-commit state
+    directory and --resume auto-detects + restores it."""
+    save_dir = workdir / "ModelSaveO"
+    base = ["--family", "B2-Trans", "--lr", "1e-3", "--save_freq", "1",
+            "--ckpt_backend", "orbax", "--save_dir", str(save_dir)]
+    cli.main(_args(workdir, base + ["--epochs", "1"]))
+    state = save_dir / "B2-Trans" / "B2-Trans-VL.ckpt.state"
+    assert state.is_dir()  # orbax commit is a directory
+    cli.main(_args(workdir, base + ["--epochs", "2", "--resume"]))
+    log_text = (workdir / "train_cnn.log").read_text()
+    assert "Resumed from" in log_text and "at epoch 2" in log_text

@@ -135,7 +135,8 @@ def train_one(args, cfg, ckpt_path, logger):
             logger.info('CCC_STATS\tSINGLE_BEST: {:0.9f}\tBEST: {:0.9f}'.format(
                 single_best_ccc, best_ccc))
         if epoch % args.save_freq == 0:
-            eng.save_state(state_path, best_ccc)
+            eng.save_state(state_path, best_ccc,
+                           backend=args.ckpt_backend)
     return best_ccc
 
 
@@ -316,6 +317,12 @@ def build_arg_parser():
     parser.add_argument('--resume', action='store_true', default=False,
                         help='resume training from the saved .state file '
                              '(written every --save_freq epochs)')
+    parser.add_argument('--ckpt_backend', type=str, default='msgpack',
+                        choices=['msgpack', 'orbax'],
+                        help='training-state backend: msgpack = single '
+                             'atomic file (default); orbax = atomic '
+                             'directory commit, multi-host aware.  --resume '
+                             'auto-detects either')
     parser.add_argument('--data_dir', type=str, default="../../../SENDv1-data")
     parser.add_argument('--save_dir', type=str, default="./ModelSave")
     parser.add_argument('--pred_save_dir', type=str, default="./PredSave")
