@@ -28,11 +28,13 @@ from jax import lax
 from multimodal_transformer_tpu.ops.basic import linear
 from multimodal_transformer_tpu.ops.mfn_core import mfn_init, mfn_scan
 from multimodal_transformer_tpu.ops.pallas.mfn_kernel import (
-    mfn_scan_pallas, mfn_scan_pallas_aligned)
+    mfn_scan_pallas, mfn_scan_pallas_aligned, mfn_scan_pallas_packed)
 
 MODS = ("acoustic", "image", "linguistic")
 B, T, D = 32, 160, 256
-N1, N2 = 5, 25
+# long chains: the tunnel adds ~27 ms RTT with ~1-2 ms jitter per fetch, so
+# the inter-length delta must be >> the jitter for a stable slope
+N1, N2 = 20, 120
 
 
 def head(params, hs, mems):
@@ -47,6 +49,8 @@ def candidates():
         "pallas-unpadded": lambda p, d: head(p, *mfn_scan_pallas(p, d, MODS)),
         "pallas-aligned": lambda p, d: head(
             p, *mfn_scan_pallas_aligned(p, d, MODS)),
+        "pallas-packed": lambda p, d: head(
+            p, *mfn_scan_pallas_packed(p, d, MODS)),
     }
 
 
@@ -64,7 +68,7 @@ def time_chained(fn, params, inputs):
         c = jax.jit(prog).lower(params, inputs).compile()
         np.asarray(c(params, inputs))  # warmup + fetch
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             np.asarray(c(params, inputs))
             best = min(best, time.perf_counter() - t0)

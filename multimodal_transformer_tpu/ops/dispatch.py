@@ -6,16 +6,16 @@ timing, per-forward time from the slope between two chain lengths — the
 round-1 async-dispatch loop measured pipelining, not compute):
 
   v5e, MFT AVL, B=32, T=160, bf16 serving — seq/s end to end:
-    XLA-only baseline               7.6k
+    XLA-only baseline               7.59-7.62k  (2 runs)
     + MFN full-recurrence kernel    8.2k   (+7.7%)  -> default ON
     + fused window-embed kernel     8.1k   (+6.7%)  -> default ON
-    + both                          8.6k   (+13.5%)
+    + both                          8.6-8.8k (+14-15%, 4 runs)
     + flash attention kernel        3.8k   (-2.0x)  -> default OFF
-  Micro (MFN recurrence alone, fp32): kernel 0.30-0.31 ms vs scan 0.53 ms
-  (examples/bench_mfn_kernel.py) — the round-1 "scan wins" conclusion was a
-  measurement artifact and is reversed.  The flash kernel genuinely loses:
-  T=160, d_k=32 blocks underfill the MXU pipeline vs one fused XLA batch
-  matmul at SEND scale.
+  Micro (MFN recurrence alone, fp32, stable long-chain slopes): kernel and
+  scan are at PARITY (~0.27 ms) — the end-to-end win comes from fusion
+  boundaries, not the recurrence itself (mfn_kernel.py docstring).  The
+  flash kernel genuinely loses: T=160, d_k=32 blocks underfill the MXU
+  pipeline vs one fused XLA batch matmul at SEND scale.
 
 Overrides: per-kernel MMTX_PALLAS_ATTN / MMTX_PALLAS_WEMBED /
 MMTX_PALLAS_MFN (=0/1) beat the global MMTX_PALLAS (=0/1), which beats the

@@ -86,9 +86,10 @@ def mfn_scan(params, inputs, mods, *, rng=None):
 
     # Pallas full-recurrence kernel (ops/pallas/mfn_kernel.py): the whole
     # T-step loop inside one kernel with VMEM-resident carries/weights.
-    # Default ON for TPU eval: honestly measured 0.30 ms vs 0.53 ms for this
-    # scan (slope-timed chained forwards, examples/bench_mfn_kernel.py) and
-    # +7.7% end-to-end on the MFT bench.  MMTX_PALLAS_MFN=0 opts out.
+    # Default ON for TPU eval: in isolation it measures at parity with this
+    # scan (~0.27 ms, stable slope timing — see mfn_kernel.py docstring),
+    # but end-to-end the kernel set is +14-15% on the MFT bench (fewer
+    # fusion boundaries around the recurrence).  MMTX_PALLAS_MFN=0 opts out.
     # Training keeps the differentiable scan (kernel has no custom VJP).
     from .dispatch import pallas_enabled
     if rng is None and pallas_enabled("mfn"):

@@ -21,18 +21,30 @@ Eval path only (the training path keeps the differentiable lax.scan).
 Weight layout notes: W_hh passed pre-transposed [H, 4H]; gate MLP weights
 pre-transposed [in, out] so every in-kernel matmul is plain row-major.
 
-MEASURED RESULT (round 2, v5e-1, B=32, T=160, A+V+L, fp32; honest
-methodology — chained forwards, host-fetch timing, slope between two chain
-lengths, examples/bench_mfn_kernel.py): THE KERNEL WINS.
-    lax.scan                0.53 ms
-    this kernel (unpadded)  0.31 ms   (1.7x)
-    gate-aligned variant    0.30 ms
-Round 1 concluded the opposite (scan 1.4-1.7 ms vs kernel 1.9-2.1 ms) from
-per-call dispatch timing over the remote tunnel; both absolute numbers and
-the ranking were measurement artifacts (async dispatch + block_until_ready
-returning early on the remote backend).  Production dispatch now defaults
-to this kernel for TPU eval (+7.7% end-to-end on the MFT bench;
-MMTX_PALLAS_MFN=0 opts out); training keeps the differentiable lax.scan.
+MEASURED RESULT (round 2, v5e-1, B=32, T=160, A+V+L, fp32; honest + STABLE
+methodology — chained forwards, host-fetch timing, slope between n=20 and
+n=120 so the delta is >>10x the ~1-2 ms tunnel jitter,
+examples/bench_mfn_kernel.py, reproduced twice):
+    lax.scan                0.262-0.268 ms
+    this kernel (unpadded)  0.268-0.275 ms   (parity)
+    packed 5-matmul step    0.268-0.273 ms   (parity; see below)
+    gate-aligned variant    0.340-0.344 ms   (loses: 128-lane padding
+                                              inflates every dot)
+Round 1's numbers (scan 1.4-1.7 ms vs kernel 1.9-2.1 ms) and an interim
+round-2 short-chain measurement (0.53 vs 0.31 ms) were both measurement
+artifacts — per-call dispatch, early-returning block_until_ready, and
+jitter-dominated short slopes respectively.  In isolation the recurrence is
+latency-bound at ~1.7 us/step where scan and kernel are equivalent; END TO
+END the kernel + fused window-embed measure +14-15% on the MFT bench
+(reproduced: 8.6-8.8k vs 7.6k seq/s) — fewer fusion boundaries around the
+recurrence — so dispatch defaults the kernel ON for TPU eval
+(MMTX_PALLAS_MFN=0 opts out).  Training keeps the differentiable lax.scan.
+
+The packed variant below (VERDICT r1 #6 experiment) collapses the step's
+~9 mixed-width matmuls into 5 via zero-block packing; measured exactly at
+parity with the unpadded kernel and the scan — per-step matmul ISSUE count
+is not the recurrence's bottleneck at SEND scale.  Kept as the documented
+closure of that experiment.
 """
 
 from __future__ import annotations
@@ -207,6 +219,188 @@ def mfn_scan_pallas(params, inputs, mods, *, interpret: bool = False):
 # --------------------------------------------------------------------------
 
 HP = 128  # padded per-modality hidden width (v5e lane count)
+
+
+# --------------------------------------------------------------------------
+# Packed variant: collapse the step's ~9 small mixed-width matmuls into 5
+# (VERDICT r1 #6 experiment).  Exact, via zero-block packing:
+#   1. the n per-modality LSTM h-to-h projections -> ONE block-diagonal
+#      [total_h, sum(4H_m)] matmul on the concatenated hidden state;
+#   2. att2_fc1 + gamma1_fc1 + gamma2_fc1 all consume (a prefix of)
+#      both=[attended; mem] -> ONE [2*total_h+mem, 256+64+64] matmul
+#      (att2's rows for the mem block are zero — it only sees `attended`);
+#   3. att2_fc2 + gamma1_fc2 + gamma2_fc2 -> ONE block-diagonal
+#      [384, 3*mem] matmul on the concatenated ReLU activations;
+#   4.-5. att1's two matmuls stay (sequentially dependent on everything).
+# Extra zero-block FLOPs are tiny vs the per-issue latency saved in a
+# latency-bound recurrence.
+# --------------------------------------------------------------------------
+
+
+def pack_mfn_params_blockdiag(params, mods):
+    """Pure-jnp packing (XLA folds it; cheap under jit)."""
+    n = len(mods)
+    hs = [HIDDEN_DIM[m] for m in mods]
+    total_h = sum(hs)
+    att_in = 2 * total_h
+    both_in = att_in + MEM_DIM
+
+    # 1. LSTM h-to-h block diagonal: [total_h, sum 4H]
+    whh_bd = jnp.zeros((total_h, 4 * total_h), jnp.float32)
+    hoff = zoff = 0
+    for m in mods:
+        H = HIDDEN_DIM[m]
+        whh_bd = whh_bd.at[hoff:hoff + H, zoff:zoff + 4 * H].set(
+            params[f"lstm_{m}"]["weight_hh"].T)
+        hoff += H
+        zoff += 4 * H
+
+    # 2. fused first layers on both=[attended; mem]
+    a2w1 = params["att2_fc1"]["weight"].T          # [att_in, 256]
+    g1w1 = params["gamma1_fc1"]["weight"].T        # [both_in, 64]
+    g2w1 = params["gamma2_fc1"]["weight"].T        # [both_in, 64]
+    h_att2, h_g = a2w1.shape[1], g1w1.shape[1]
+    w1g = jnp.zeros((both_in, h_att2 + 2 * h_g), jnp.float32)
+    w1g = w1g.at[:att_in, :h_att2].set(a2w1)       # mem rows stay zero
+    w1g = w1g.at[:, h_att2:h_att2 + h_g].set(g1w1)
+    w1g = w1g.at[:, h_att2 + h_g:].set(g2w1)
+    b1g = jnp.concatenate([params["att2_fc1"]["bias"],
+                           params["gamma1_fc1"]["bias"],
+                           params["gamma2_fc1"]["bias"]])
+
+    # 3. block-diagonal second layers -> [c_hat | g1 | g2], each MEM_DIM wide
+    w2bd = jnp.zeros((h_att2 + 2 * h_g, 3 * MEM_DIM), jnp.float32)
+    w2bd = w2bd.at[:h_att2, :MEM_DIM].set(params["att2_fc2"]["weight"].T)
+    w2bd = w2bd.at[h_att2:h_att2 + h_g, MEM_DIM:2 * MEM_DIM].set(
+        params["gamma1_fc2"]["weight"].T)
+    w2bd = w2bd.at[h_att2 + h_g:, 2 * MEM_DIM:].set(
+        params["gamma2_fc2"]["weight"].T)
+    b2g = jnp.concatenate([params["att2_fc2"]["bias"],
+                           params["gamma1_fc2"]["bias"],
+                           params["gamma2_fc2"]["bias"]])
+
+    return {
+        "whh_bd": whh_bd,
+        "a1w1": params["att1_fc1"]["weight"].T,
+        "a1b1": params["att1_fc1"]["bias"],
+        "a1w2": params["att1_fc2"]["weight"].T,
+        "a1b2": params["att1_fc2"]["bias"],
+        "w1g": w1g, "b1g": b1g, "w2bd": w2bd, "b2g": b2g,
+        "h_att2": h_att2, "h_g": h_g,
+    }
+
+
+def _mfn_kernel_packed(hs: Sequence[int], mem_dim: int, h_att2: int,
+                       h_g: int, *refs):
+    """refs: xp_cat, whh_bd, a1w1, a1b1, a1w2, a1b2, w1g, b1g, w2bd, b2g,
+    hs_out, mem_out, h_scratch [B, total_h], c_scratch, mem_scratch."""
+    (xp, whh_bd, a1w1, a1b1, a1w2, a1b2, w1g, b1g, w2bd, b2g,
+     hs_out, mem_out, h_s, c_s, mem_s) = refs
+    total_h = sum(hs)
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        h_s[:] = jnp.zeros_like(h_s)
+        c_s[:] = jnp.zeros_like(c_s)
+        mem_s[:] = jnp.zeros_like(mem_s)
+
+    prev_cs = c_s[:]
+    z_cat = xp[0] + jnp.dot(h_s[:], whh_bd[:],
+                            preferred_element_type=jnp.float32)
+    h_parts, c_parts = [], []
+    zoff = 0
+    for H in hs:
+        z = z_cat[:, zoff:zoff + 4 * H]
+        zoff += 4 * H
+        ig = jax.nn.sigmoid(z[:, 0 * H:1 * H])
+        fg = jax.nn.sigmoid(z[:, 1 * H:2 * H])
+        gg = jnp.tanh(z[:, 2 * H:3 * H])
+        og = jax.nn.sigmoid(z[:, 3 * H:4 * H])
+        c_prev = prev_cs[:, sum(hs[:len(c_parts)]):
+                         sum(hs[:len(c_parts)]) + H]
+        c_new = fg * c_prev + ig * gg
+        h_parts.append(og * jnp.tanh(c_new))
+        c_parts.append(c_new)
+    new_cs = jnp.concatenate(c_parts, axis=1)
+    new_hs = jnp.concatenate(h_parts, axis=1)
+    h_s[:] = new_hs
+    c_s[:] = new_cs
+
+    c_star = jnp.concatenate([prev_cs, new_cs], axis=1)      # [B, 2*TH]
+    a_h = jnp.maximum(jnp.dot(c_star, a1w1[:],
+                              preferred_element_type=jnp.float32)
+                      + a1b1[:][None, :], 0.0)
+    att = jax.nn.softmax(jnp.dot(a_h, a1w2[:],
+                                 preferred_element_type=jnp.float32)
+                         + a1b2[:][None, :], axis=1)
+    attended = att * c_star
+    both = jnp.concatenate([attended, mem_s[:]], axis=1)     # [B, 2TH+mem]
+    h1 = jnp.maximum(jnp.dot(both, w1g[:],
+                             preferred_element_type=jnp.float32)
+                     + b1g[:][None, :], 0.0)                 # [B, 384]
+    out2 = jnp.dot(h1, w2bd[:], preferred_element_type=jnp.float32) \
+        + b2g[:][None, :]                                    # [B, 3*mem]
+    c_hat = jnp.tanh(out2[:, :mem_dim])
+    g1 = jax.nn.sigmoid(out2[:, mem_dim:2 * mem_dim])
+    g2 = jax.nn.sigmoid(out2[:, 2 * mem_dim:])
+    mem_new = g1 * mem_s[:] + g2 * c_hat
+    mem_s[:] = mem_new
+    hs_out[0] = new_hs.astype(hs_out.dtype)
+    mem_out[0] = mem_new.astype(mem_out.dtype)
+
+
+def mfn_scan_pallas_packed(params, inputs, mods, *, interpret: bool = False):
+    """Packed-matmul full-recurrence kernel (5 dots/step vs 9).  Same
+    contract as mfn_scan_pallas."""
+    first = inputs[mods[0]]
+    B, T = first.shape[0], first.shape[1]
+    dtype = first.dtype
+    hs = [HIDDEN_DIM[m] for m in mods]
+    total_h = sum(hs)
+
+    packed = pack_mfn_params_blockdiag(params, mods)
+    h_att2, h_g = packed["h_att2"], packed["h_g"]
+
+    xps = []
+    for m in mods:
+        p = params[f"lstm_{m}"]
+        xps.append(jnp.einsum("btd,gd->btg", inputs[m], p["weight_ih"])
+                   + p["bias_ih"] + p["bias_hh"])
+    xp_cat = jnp.concatenate(xps, axis=2).transpose(1, 0, 2)  # [T, B, 4TH]
+
+    gate_args = [packed[k] for k in ("whh_bd", "a1w1", "a1b1", "a1w2",
+                                     "a1b2", "w1g", "b1g", "w2bd", "b2g")]
+    gate_specs = [pl.BlockSpec(g.shape,
+                               (lambda t: (0, 0)) if g.ndim == 2
+                               else (lambda t: (0,)),
+                               memory_space=pltpu.VMEM) for g in gate_args]
+
+    kernel = functools.partial(_mfn_kernel_packed, tuple(hs), MEM_DIM,
+                               h_att2, h_g)
+    hs_arr, mems = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, B, 4 * total_h), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)] + gate_specs,
+        out_specs=(
+            pl.BlockSpec((1, B, total_h), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, MEM_DIM), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, total_h), dtype),
+            jax.ShapeDtypeStruct((T, B, MEM_DIM), dtype),
+        ),
+        scratch_shapes=(
+            pltpu.VMEM((B, total_h), jnp.float32),
+            pltpu.VMEM((B, total_h), jnp.float32),
+            pltpu.VMEM((B, MEM_DIM), jnp.float32),
+        ),
+        interpret=interpret,
+    )(xp_cat, *gate_args)
+    return hs_arr.transpose(1, 0, 2), mems.transpose(1, 0, 2)
 
 
 def _pad_rows(w, src_positions, n_rows):

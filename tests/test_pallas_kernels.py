@@ -274,3 +274,25 @@ def test_mha_training_dispatch_flash_grad_parity(monkeypatch):
     jax.tree_util.tree_map(
         lambda g, w: np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=2e-4, atol=1e-5), got, want)
+
+
+def test_mfn_packed_kernel_matches_scan():
+    """The 5-matmul packed-step MFN kernel must be exact (interpret mode)."""
+    from multimodal_transformer_tpu.ops.mfn_core import mfn_init, mfn_scan
+    from multimodal_transformer_tpu.ops.pallas.mfn_kernel import (
+        mfn_scan_pallas_packed)
+    from multimodal_transformer_tpu.ops.basic import linear as lin
+
+    mods = ["acoustic", "image", "linguistic"]
+    dims = {m: 24 for m in mods}
+    p = mfn_init(jax.random.PRNGKey(13), mods, dims, 1)
+    rs = np.random.RandomState(13)
+    B, T = 3, 7
+    inputs = {m: jnp.asarray(rs.randn(B, T, dims[m]).astype(np.float32))
+              for m in mods}
+    hs, mems = mfn_scan_pallas_packed(p, inputs, mods, interpret=True)
+    feats = jnp.concatenate([hs, mems], axis=2)
+    got = lin(p["out_fc2"], jax.nn.relu(lin(p["out_fc1"], feats)))
+    want = mfn_scan(p, inputs, mods)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-6)
