@@ -26,7 +26,7 @@ from jax import lax
 B, T = 32, 160
 FRAMES = {"linguistic": 32, "acoustic": 4, "image": 4}
 MODS = ("acoustic", "image", "linguistic")
-N1, N2 = 5, 25
+N1, N2 = 20, 120  # long chains: slope delta must be >> the ~1-2 ms RTT jitter
 
 
 def slope(make_prog, args, n1=N1, n2=N2):
@@ -73,21 +73,24 @@ def main():
 
     results = {}
 
-    # 1. front-end: dict [B,T,F,D] -> dict [B,T,E]
+    # 1. front-end: dict [B,T,F,D] -> dict [B,T,E].  The carry must consume
+    # EVERY modality's output or DCE deletes the unused branches (an early
+    # version fed only acoustic back and measured 0.002 ms for a 57-GFLOP
+    # stage).
     def mk_front(n):
         def prog(params, data):
             def body(_, carry):
-                d = {m: v + carry[:, :, None, :1].astype(v.dtype) * eps
+                d = {m: v + carry[:, :, :, :1].astype(v.dtype) * eps
                      for m, v in data.items()}
-                outs = frontend_apply(params["CNN"], d, MODS, rng=None)
-                return outs[MODS[0]][:, :, None, :]  # [B,T,1,E] carry
+                outs = frontend_apply(params, d, MODS, rng=None)
+                return sum(o[:, :, None, :1] for o in outs.values())
             return lax.fori_loop(0, n, body,
-                                 jnp.zeros((B, T, 1, 256), dt))
+                                 jnp.zeros((B, T, 1, 1), dt))
         return prog
     results["front-end (3 mods)"] = slope(mk_front, (params, data))
 
     # 2. embed + encoders (3 x 6 layers) on [B,T,E] inputs
-    fr = frontend_apply(params["CNN"], data, MODS, rng=None)
+    fr = frontend_apply(params, data, MODS, rng=None)
     fr = {m: v.block_until_ready() for m, v in fr.items()}
 
     def mk_enc(n):
@@ -117,6 +120,24 @@ def main():
         return prog
     results["MFN recurrence + head"] = slope(mk_mfn, (head, enc))
 
+    # 3.5 embed + encoders + MFN composed, from precomputed front-end
+    # outputs (isolates the front-end-in-context + input-perturbation cost
+    # when compared against FULL)
+    def mk_enc_mfn(n):
+        def prog(head, fr, mask):
+            def body(_, carry):
+                mfn_in = {}
+                for m in MODS:
+                    e = linear(head[f"embed_{m}"],
+                               fr[m] + carry.astype(dt) * eps)
+                    mfn_in[m] = encoder_stack(
+                        head[f"transformer_{m}"], e, mask,
+                        mask_mode="key_query")
+                return mfn_scan(head["mfn"], mfn_in, MODS) * mask
+            return lax.fori_loop(0, n, body, jnp.zeros((B, T, 1), dt))
+        return prog
+    results["embed+enc+MFN composed"] = slope(mk_enc_mfn, (head, fr, mask))
+
     # 4. full model
     def mk_full(n):
         def prog(params, data, mask):
@@ -129,11 +150,11 @@ def main():
         return prog
     results["FULL forward"] = slope(mk_full, (params, data, mask))
 
+    from multimodal_transformer_tpu.ops.dispatch import pallas_enabled
     mode = "fp32" if args_cli.fp32 else "bf16"
     print(f"MFT AVL component budget, B={B} T={T} {mode}, "
-          f"kernels: MFN={os.environ.get('MMTX_PALLAS_MFN', 'default-on')} "
-          f"wembed={os.environ.get('MMTX_PALLAS_WEMBED', 'default-on')} "
-          f"on {jax.devices()[0]}")
+          f"kernels: MFN={pallas_enabled('mfn')} "
+          f"wembed={pallas_enabled('wembed')} on {jax.devices()[0]}")
     for name, ms in results.items():
         print(f"  {name:30s} {ms:7.3f} ms")
 

@@ -74,11 +74,16 @@ def mft_apply(params, cfg: ModelConfig, inputs, mask, rng=None):
     head = params["Transformer"]
     if len(mods) > 1:
         rngs = _split_rng(r_head, len(mods) + 1)
+        # NOTE: running the three structurally-identical per-modality
+        # encoders as one modality-batched stack was measured NEUTRAL at
+        # B=32 and slower at B=128 (XLA already interleaves the branches;
+        # the stage is HBM-bound, not dispatch-bound) — see
+        # ops/attention.py encoder_stack_batched for the measured verdict.
         mfn_in = {}
         for mod, mod_rng in zip(mods, rngs[:-1]):
             e = linear(head[f"embed_{mod}"], outs[mod])
-            mfn_in[mod] = encoder_stack(head[f"transformer_{mod}"], e, mask,
-                                        h=8, rng=mod_rng,
+            mfn_in[mod] = encoder_stack(head[f"transformer_{mod}"], e,
+                                        mask, h=8, rng=mod_rng,
                                         mask_mode=cfg.mask_mode)
         pred = mfn_scan(head["mfn"], mfn_in, mods, rng=rngs[-1])
         return pred * mask

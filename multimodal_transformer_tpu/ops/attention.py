@@ -146,3 +146,78 @@ def encoder_stack(params, x, mask=None, *, h: int = 8, rng=None,
         x = _encoder_layer(layer_params, x, mask, h=h, rng=layer_rng,
                            dropout_p=dropout_p, mask_mode=mask_mode)
     return torch_layer_norm(params["norm"], x)
+
+
+# -------------------------------------------------- batched multi-encoder
+# M structurally-identical encoders (same D/d_ff/layers, independent
+# weights) evaluated as ONE stack of M-x-larger matmuls.  Hypothesis: MFT's
+# three per-modality 6-layer encoders underfill the MXU, so stacking the
+# modality axis into every einsum should win.  MEASURED VERDICT (v5e, B=32,
+# T=160, bf16, stable slope timing): NEUTRAL — 1.845 ms batched vs 1.847 ms
+# sequential, and slower at B=128.  XLA already interleaves the independent
+# branches, and the stage sits at ~73% of the HBM roofline (score
+# materialization + norms dominate traffic), so bigger matmul issues buy
+# nothing.  Kept as a tested, documented alternative for hardware where
+# dispatch cost dominates; NOT dispatched by the families.  Same math, same
+# quirky norm; inference-only (no dropout).
+
+
+def _bnorm(params, x, eps: float = 1e-6):
+    """torch_layer_norm with [M, D] params against [M, B, T, D] x."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    d = x - mean
+    n = x.shape[-1]
+    var = jnp.sum(d * d, axis=-1, keepdims=True) / (n - 1)
+    std = jnp.sqrt(var)
+    return (params["a_2"][:, None, None, :] * d / (std + eps)
+            + params["b_2"][:, None, None, :])
+
+
+def _blinear(p, x):
+    """x: [M, B, T, in]; weight: [M, out, in] (torch layout); bias [M, out]."""
+    return (jnp.einsum("mbti,moi->mbto", x, p["weight"])
+            + p["bias"][:, None, None, :])
+
+
+def _bmha(p, x, mask, *, h: int, mask_mode: str):
+    M, B, T, D = x.shape
+    d_k = D // h
+
+    def proj(lp, v):
+        return _blinear(lp, v).reshape(M, B, T, h, d_k).transpose(
+            0, 1, 3, 2, 4)
+
+    q = proj(p["linears"][0], x)        # [M, B, h, T, d_k]
+    k = proj(p["linears"][1], x)
+    v = proj(p["linears"][2], x)
+    scores = jnp.einsum("mbhqd,mbhkd->mbhqk", q, k) / jnp.sqrt(
+        jnp.asarray(d_k, dtype=x.dtype))
+    if mask is not None:
+        qmask = mask[None, :, None, :, 0:1]        # [1, B, 1, Tq, 1]
+        scores = jnp.where(qmask == 0, NEG_INF, scores)
+        if mask_mode == "key_query":
+            kmask = mask[..., 0][None, :, None, None, :]
+            scores = jnp.where(kmask == 0, NEG_INF, scores)
+    p_attn = jax.nn.softmax(scores, axis=-1)
+    xo = jnp.einsum("mbhqk,mbhkd->mbhqd", p_attn, v).transpose(
+        0, 1, 3, 2, 4).reshape(M, B, T, D)
+    return _blinear(p["linears"][3], xo)
+
+
+def encoder_stack_batched(params_list, x, mask=None, *, h: int = 8,
+                          mask_mode: str = "query"):
+    """Evaluate M same-shaped encoder stacks in one batched pass.
+
+    params_list: M encoder param trees (as built by encoder_init);
+    x: [M, B, T, D].  Returns [M, B, T, D].  Inference only (no dropout)."""
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                     *list(params_list))
+    for lp in stacked["layers"]:
+        normed = _bnorm(lp["sublayer"][0]["norm"], x)
+        x = x + _bmha(lp["self_attn"], normed, mask, h=h,
+                      mask_mode=mask_mode)
+        normed = _bnorm(lp["sublayer"][1]["norm"], x)
+        ff = lp["feed_forward"]
+        x = x + _blinear(ff["w_2"],
+                         jax.nn.relu(_blinear(ff["w_1"], normed)))
+    return _bnorm(stacked["norm"], x)

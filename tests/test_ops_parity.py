@@ -343,3 +343,29 @@ def test_mfn_scan_matches_torch_reference():
         outs.append(lin["out_fc2"](F.relu(lin["out_fc1"](feats))).unsqueeze(1))
     want = torch.cat(outs, dim=1).detach().numpy()
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_encoder_stack_batched_matches_sequential():
+    """encoder_stack_batched (modality-stacked einsums) must be numerically
+    identical to M sequential encoder_stack calls (it is a measured-neutral
+    alternative kept for dispatch-bound hardware — ops/attention.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_transformer_tpu.ops.attention import (
+        encoder_init, encoder_stack, encoder_stack_batched)
+
+    D, M, B, T = 32, 3, 2, 9
+    keys = jax.random.split(jax.random.PRNGKey(21), M)
+    plist = [encoder_init(k, D, 16, 2) for k in keys]
+    rs = np.random.RandomState(21)
+    x = jnp.asarray(rs.randn(M, B, T, D).astype(np.float32))
+    mask_np = np.ones((B, T, 1), np.float32)
+    mask_np[1, 6:] = 0
+    mask = jnp.asarray(mask_np)
+    for mode in ("query", "key_query"):
+        got = encoder_stack_batched(plist, x, mask, h=4, mask_mode=mode)
+        want = jnp.stack([encoder_stack(p, x[i], mask, h=4, mask_mode=mode)
+                          for i, p in enumerate(plist)])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
