@@ -58,11 +58,15 @@ def measure_tpu(n_chain=(10, 40), n_timed=3, batch=None):
     the last — over the remote tunnel that overlapped/elided work and
     produced >100%-MFU numbers (VERDICT round 1).  Honest methodology:
 
-      * one jitted program runs n forwards in a lax.fori_loop where EVERY
-        modality's input at step i+1 depends on step i's output — a real,
-        un-foldable add on all branches, so XLA can neither overlap
-        iterations nor hoist any per-modality encoder out of the loop
-        (perturbing only one modality lets LICM hoist the other two);
+      * one jitted program runs n forwards in a lax.fori_loop where step
+        i+1's CONV WEIGHTS (every modality) are perturbed by a scalar
+        derived from step i's output — a real, un-foldable dependency at
+        the very top of the graph, so XLA can neither overlap iterations
+        nor hoist anything (the front-end matmuls' weight operand changes
+        every iteration, and all downstream stages consume the front-end).
+        Perturbing the weights instead of the inputs (the first honest
+        variant) avoids re-materializing ~300 MB of input tensors per
+        iteration — pure measurement artifact worth ~0.4 ms/fwd @ B=32;
       * timing fetches the result to host (np.asarray) — on the remote
         backend block_until_ready() returns before execution finishes;
       * per-forward time is the SLOPE between two chain lengths, which
@@ -91,17 +95,27 @@ def measure_tpu(n_chain=(10, 40), n_timed=3, batch=None):
             jnp.bfloat16)
 
     eps = jnp.asarray(1e-30, data[MODS[0]].dtype)
+    dt = data[MODS[0]].dtype
 
     def make_chain(n):
         def chain(params, data, mask):
             def body(_, carry):
-                # feed the previous output back into EVERY modality:
-                # numerically a no-op (pred*1e-30 under-flows against
-                # unit-scale features) but a hard data dependency on all
-                # branches — nothing is loop-invariant, nothing overlaps
-                d = {m: v + carry[:, :, None, :].astype(v.dtype) * eps
-                     for m, v in data.items()}
-                return apply(params, d, mask, rng=None)
+                # feed the previous output back into EVERY modality's conv
+                # weights: numerically a no-op (sum(pred)*1e-30 underflows
+                # against unit-scale weights) but a hard data dependency at
+                # the top of the graph — the front-end matmuls' weight
+                # operand changes every iteration, so nothing is
+                # loop-invariant and nothing overlaps.  The perturbation
+                # itself rewrites only ~0.7 M weight elements (~4 µs).
+                s = jnp.sum(carry).astype(dt) * eps
+                p = dict(params)
+                for m in MODS:
+                    cnn = dict(p[f"cnn_{m}"])
+                    conv = dict(cnn["conv1d"])
+                    conv["weight"] = conv["weight"] + s
+                    cnn["conv1d"] = conv
+                    p[f"cnn_{m}"] = cnn
+                return apply(p, data, mask, rng=None)
             return lax.fori_loop(0, n, body,
                                  jnp.zeros(mask.shape, mask.dtype))
         return jax.jit(chain).lower(params, data, mask).compile()

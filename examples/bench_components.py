@@ -2,8 +2,9 @@
 """Component-level latency budget of the MFT forward on TPU (slope-timed).
 
 Times each pipeline stage with the honest methodology (chained fori_loop,
-every input consuming the previous output, host-fetch timing, slope between
-two chain lengths) to show where the 8.6k-seq/s forward actually spends its
+the previous output perturbing the stage's WEIGHTS so every op is
+carry-dependent with ~zero perturbation traffic, host-fetch timing, slope
+between two chain lengths) to show where the forward actually spends its
 time.  Stages: front-end (CNN+highway x3 mods), per-mod embed + 6-layer
 encoder (x3), MFN recurrence + head, full model.
 
@@ -73,19 +74,33 @@ def main():
 
     results = {}
 
-    # 1. front-end: dict [B,T,F,D] -> dict [B,T,E].  The carry must consume
-    # EVERY modality's output or DCE deletes the unused branches (an early
-    # version fed only acoustic back and measured 0.002 ms for a 57-GFLOP
-    # stage).
+    # Chaining rule (same as bench.py): perturb the stage's WEIGHTS with a
+    # scalar from the previous output, never its big input tensors —
+    # input-perturbation re-materializes the inputs every iteration (pure
+    # artifact, ~0.4 ms/fwd over the full model @ B=32) while a weight
+    # perturbation costs ~µs and still makes every op carry-dependent.
+    # The carry must also consume EVERY modality's output or DCE deletes
+    # the unused branches (an early version fed only acoustic back and
+    # measured 0.002 ms for a 57-GFLOP stage).
+    def _perturb_conv(params, s):
+        p = dict(params)
+        for m in MODS:
+            cnn = dict(p[f"cnn_{m}"])
+            conv = dict(cnn["conv1d"])
+            conv["weight"] = conv["weight"] + s
+            cnn["conv1d"] = conv
+            p[f"cnn_{m}"] = cnn
+        return p
+
+    # 1. front-end: dict [B,T,F,D] -> dict [B,T,E]
     def mk_front(n):
         def prog(params, data):
             def body(_, carry):
-                d = {m: v + carry[:, :, :, :1].astype(v.dtype) * eps
-                     for m, v in data.items()}
-                outs = frontend_apply(params, d, MODS, rng=None)
-                return sum(o[:, :, None, :1] for o in outs.values())
+                p = _perturb_conv(params, jnp.sum(carry).astype(dt) * eps)
+                outs = frontend_apply(p, data, MODS, rng=None)
+                return sum(o[:, :, :1] for o in outs.values())
             return lax.fori_loop(0, n, body,
-                                 jnp.zeros((B, T, 1, 1), dt))
+                                 jnp.zeros((B, T, 1), dt))
         return prog
     results["front-end (3 mods)"] = slope(mk_front, (params, data))
 
@@ -93,15 +108,23 @@ def main():
     fr = frontend_apply(params, data, MODS, rng=None)
     fr = {m: v.block_until_ready() for m, v in fr.items()}
 
+    def _perturb_embed(head, s):
+        h = dict(head)
+        for m in MODS:
+            emb = dict(h[f"embed_{m}"])
+            emb["weight"] = emb["weight"] + s
+            h[f"embed_{m}"] = emb
+        return h
+
     def mk_enc(n):
         def prog(head, fr, mask):
             def body(_, carry):
+                h = _perturb_embed(head, jnp.sum(carry).astype(dt) * eps)
                 outs = []
                 for m in MODS:
-                    e = linear(head[f"embed_{m}"],
-                               fr[m] + carry[:, :, :1].astype(dt) * eps)
+                    e = linear(h[f"embed_{m}"], fr[m])
                     outs.append(encoder_stack(
-                        head[f"transformer_{m}"], e, mask,
+                        h[f"transformer_{m}"], e, mask,
                         mask_mode="key_query"))
                 return outs[0] + outs[1] + outs[2]
             return lax.fori_loop(0, n, body, jnp.zeros((B, T, 256), dt))
@@ -114,26 +137,30 @@ def main():
     def mk_mfn(n):
         def prog(head, enc):
             def body(_, carry):
-                d = {m: v + carry.astype(dt) * eps for m, v in enc.items()}
-                return mfn_scan(head["mfn"], d, MODS)
+                s = jnp.sum(carry).astype(dt) * eps
+                mfn = dict(head["mfn"])
+                for m in MODS:
+                    lstm = dict(mfn[f"lstm_{m}"])
+                    lstm["weight_ih"] = lstm["weight_ih"] + s
+                    mfn[f"lstm_{m}"] = lstm
+                return mfn_scan(mfn, enc, MODS)
             return lax.fori_loop(0, n, body, jnp.zeros((B, T, 1), dt))
         return prog
     results["MFN recurrence + head"] = slope(mk_mfn, (head, enc))
 
     # 3.5 embed + encoders + MFN composed, from precomputed front-end
-    # outputs (isolates the front-end-in-context + input-perturbation cost
-    # when compared against FULL)
+    # outputs (isolates the front-end-in-context cost vs FULL)
     def mk_enc_mfn(n):
         def prog(head, fr, mask):
             def body(_, carry):
+                h = _perturb_embed(head, jnp.sum(carry).astype(dt) * eps)
                 mfn_in = {}
                 for m in MODS:
-                    e = linear(head[f"embed_{m}"],
-                               fr[m] + carry.astype(dt) * eps)
+                    e = linear(h[f"embed_{m}"], fr[m])
                     mfn_in[m] = encoder_stack(
-                        head[f"transformer_{m}"], e, mask,
+                        h[f"transformer_{m}"], e, mask,
                         mask_mode="key_query")
-                return mfn_scan(head["mfn"], mfn_in, MODS) * mask
+                return mfn_scan(h["mfn"], mfn_in, MODS) * mask
             return lax.fori_loop(0, n, body, jnp.zeros((B, T, 1), dt))
         return prog
     results["embed+enc+MFN composed"] = slope(mk_enc_mfn, (head, fr, mask))
@@ -142,9 +169,8 @@ def main():
     def mk_full(n):
         def prog(params, data, mask):
             def body(_, carry):
-                d = {m: v + carry[:, :, None, :].astype(v.dtype) * eps
-                     for m, v in data.items()}
-                return apply(params, d, mask, rng=None)
+                p = _perturb_conv(params, jnp.sum(carry).astype(dt) * eps)
+                return apply(p, data, mask, rng=None)
             return lax.fori_loop(0, n, body, jnp.zeros(mask.shape,
                                                        mask.dtype))
         return prog

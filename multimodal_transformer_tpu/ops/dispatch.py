@@ -1,21 +1,29 @@
 """Kernel dispatch: choose Pallas TPU kernels vs the jnp/XLA path.
 
 Per-kernel policy (round 2, re-measured honestly: forwards chained in a
-fori_loop with every input consuming the previous output, host-fetch
-timing, per-forward time from the slope between two chain lengths — the
-round-1 async-dispatch loop measured pipelining, not compute):
+fori_loop where the previous output perturbs every modality's CONV WEIGHTS
+— a top-of-graph dependency with ~zero perturbation traffic — host-fetch
+timing, per-forward time from the slope between two chain lengths.  The
+earlier input-perturb chain re-materialized ~300 MB of inputs per
+iteration, a ~0.4 ms/fwd artifact that penalized the XLA path more than
+the Pallas path and flipped the wembed verdict; the round-1 async-dispatch
+loop measured pipelining, not compute):
 
-  v5e, MFT AVL, B=32, T=160, bf16 serving — seq/s end to end:
-    XLA-only baseline               7.59-7.62k  (2 runs)
-    + MFN full-recurrence kernel    8.2k   (+7.7%)  -> default ON
-    + fused window-embed kernel     8.1k   (+6.7%)  -> default ON
-    + both                          8.6-8.8k (+14-15%, 4 runs)
-    + flash attention kernel        3.8k   (-2.0x)  -> default OFF
+  v5e, MFT AVL, B=32, T=160, bf16 serving — ms/fwd (seq/s) end to end:
+    XLA-only baseline               2.97-3.01 ms (10.6-10.8k)  (2 runs)
+    + MFN full-recurrence kernel    2.67 ms (12.0k, +13%)  -> default ON
+    + fused window-embed kernel     3.52 ms (9.1k, -17%)   -> default OFF
+    + both                          3.21 ms (10.0k)
+    + flash attention kernel        (-2x, input-perturb run) -> default OFF
   Micro (MFN recurrence alone, fp32, stable long-chain slopes): kernel and
-  scan are at PARITY (~0.27 ms) — the end-to-end win comes from fusion
-  boundaries, not the recurrence itself (mfn_kernel.py docstring).  The
-  flash kernel genuinely loses: T=160, d_k=32 blocks underfill the MXU
-  pipeline vs one fused XLA batch matmul at SEND scale.
+  scan are at PARITY (~0.27 ms) — the end-to-end MFN-kernel win comes from
+  fusion boundaries, not the recurrence itself (mfn_kernel.py docstring).
+  The flash kernel genuinely loses: T=160, d_k=32 blocks underfill the MXU
+  pipeline vs one fused XLA batch matmul at SEND scale.  The wembed kernel
+  loses once measured fairly: XLA fuses the k=2 conv + maxpool + highway
+  chain well on loop-invariant-layout inputs, and the kernel's unaligned
+  D=300 lanes (pad to 384) + in-VMEM [TN,F,D]->[TN*F,D] relayout cost more
+  than the fusion saves.
 
 Overrides: per-kernel MMTX_PALLAS_ATTN / MMTX_PALLAS_WEMBED /
 MMTX_PALLAS_MFN (=0/1) beat the global MMTX_PALLAS (=0/1), which beats the
@@ -32,7 +40,7 @@ import jax
 _TPU_BACKENDS = ("tpu", "axon")
 
 # measured per-kernel defaults (see module docstring)
-_DEFAULTS = {"wembed": True, "mfn": True, "attn": False}
+_DEFAULTS = {"wembed": False, "mfn": True, "attn": False}
 
 
 def _on_tpu() -> bool:
