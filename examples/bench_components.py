@@ -180,6 +180,7 @@ def main():
     mode = "fp32" if args_cli.fp32 else "bf16"
     print(f"MFT AVL component budget, B={B} T={T} {mode}, "
           f"kernels: MFN={pallas_enabled('mfn')} "
+          f"encoder={pallas_enabled('encoder')} "
           f"wembed={pallas_enabled('wembed')} on {jax.devices()[0]}")
     for name, ms in results.items():
         print(f"  {name:30s} {ms:7.3f} ms")

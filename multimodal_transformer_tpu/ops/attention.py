@@ -140,6 +140,19 @@ def _encoder_layer(params, x, mask, *, h, rng, dropout_p, mask_mode):
 def encoder_stack(params, x, mask=None, *, h: int = 8, rng=None,
                   dropout_p: float = 0.1, mask_mode: str = "query"):
     """Full N-layer pre-norm encoder with final norm.  x: [B, T, D]."""
+    # Fused whole-stack Pallas kernel (ops/pallas/encoder.py): activations
+    # VMEM-resident across all N layers, 1.5x over XLA at SEND scale
+    # (dispatch.py table).  Same gating as the flash kernel: clean
+    # key_query masking, eval or dropout-free training (its custom_vjp
+    # rematerializes this jnp path for the backward).  Tiny-D encoders
+    # (MFT's emotient D=16) stay on jnp — d_k<8 underfills lanes.
+    from .dispatch import pallas_enabled
+    if (mask is not None and mask_mode == "key_query"
+            and (rng is None or dropout_p == 0.0)
+            and x.shape[-1] % h == 0 and x.shape[-1] >= 128
+            and pallas_enabled("encoder")):
+        from .pallas.encoder import encoder_stack_fused_trainable
+        return encoder_stack_fused_trainable(params, x, mask, h)
     n = len(params["layers"])
     rngs = jax.random.split(rng, n) if rng is not None else [None] * n
     for layer_params, layer_rng in zip(params["layers"], rngs):

@@ -12,8 +12,15 @@ loop measured pipelining, not compute):
   v5e, MFT AVL, B=32, T=160, bf16 serving — ms/fwd (seq/s) end to end:
     XLA-only baseline               2.97-3.01 ms (10.6-10.8k)  (2 runs)
     + MFN full-recurrence kernel    2.67 ms (12.0k, +13%)  -> default ON
+    + fused encoder-stack kernel    2.38 ms (13.4k, +12% on top of MFN;
+      stable across 30/120- and 40/160-step chains)       -> default ON
+      (micro, long-chain: kernel 0.506 ms vs XLA 0.504 ms per 6-layer
+      encoder — PARITY in isolation; like the MFN kernel, the e2e win
+      comes from fusion boundaries, not the stage alone.  Short-chain
+      micro runs showing 1.5x either way are RTT-jitter artifacts —
+      use n2-n1 >= 300 steps for sub-ms stages.)
     + fused window-embed kernel     3.52 ms (9.1k, -17%)   -> default OFF
-    + both                          3.21 ms (10.0k)
+    + both wembed+mfn               3.21 ms (10.0k)
     + flash attention kernel        (-2x, input-perturb run) -> default OFF
   Micro (MFN recurrence alone, fp32, stable long-chain slopes): kernel and
   scan are at PARITY (~0.27 ms) — the end-to-end MFN-kernel win comes from
@@ -26,7 +33,8 @@ loop measured pipelining, not compute):
   than the fusion saves.
 
 Overrides: per-kernel MMTX_PALLAS_ATTN / MMTX_PALLAS_WEMBED /
-MMTX_PALLAS_MFN (=0/1) beat the global MMTX_PALLAS (=0/1), which beats the
+MMTX_PALLAS_MFN / MMTX_PALLAS_ENCODER (=0/1) beat the global MMTX_PALLAS
+(=0/1), which beats the
 defaults above.  Pallas never dispatches off-TPU.  Training (rng!=None)
 uses kernels only where a custom VJP exists — callers gate that.
 """
@@ -40,7 +48,7 @@ import jax
 _TPU_BACKENDS = ("tpu", "axon")
 
 # measured per-kernel defaults (see module docstring)
-_DEFAULTS = {"wembed": False, "mfn": True, "attn": False}
+_DEFAULTS = {"wembed": False, "mfn": True, "attn": False, "encoder": True}
 
 
 def _on_tpu() -> bool:

@@ -296,3 +296,101 @@ def test_mfn_packed_kernel_matches_scan():
     want = mfn_scan(p, inputs, mods)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-6)
+
+
+# ------------------------------------------------- fused encoder stack
+
+
+def _enc_setup(seed, B, T, D, N, h):
+    from multimodal_transformer_tpu.ops.attention import encoder_init
+    params = encoder_init(jax.random.PRNGKey(seed), D, 32, N)
+    # perturb layers so they differ (identical-init otherwise hides
+    # layer-indexing bugs in the weight streaming)
+    params["layers"] = [jax.tree_util.tree_map(
+        lambda w, i=i: w + 0.01 * i, lp)
+        for i, lp in enumerate(params["layers"])]
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray(rs.randn(B, T, D).astype(np.float32))
+    mask = np.ones((B, T, 1), np.float32)
+    for i in range(B):
+        mask[i, T - i * 3:] = 0.0  # variable padding incl. none
+    return params, x, jnp.asarray(mask), np.asarray(mask)
+
+
+def test_encoder_stack_fused_matches_jnp():
+    """Whole fused stack (interpret) vs the jnp key_query path on valid
+    positions, with variable padding and shapes that force both T- and
+    B-padding inside the wrapper (T=37 -> 40, B=5 + tile_b=2 -> 6)."""
+    from multimodal_transformer_tpu.ops.attention import encoder_stack
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        encoder_stack_fused)
+
+    h = 8
+    params, x, mask, mask_np = _enc_setup(0, 5, 37, 64, 3, h)
+    want = encoder_stack(params, x, mask, h=h, rng=None, dropout_p=0.0,
+                         mask_mode="key_query")
+    got = encoder_stack_fused(params, x, mask, h=h, interpret=True,
+                              tile_b=2)
+    valid = mask_np[..., 0] == 1
+    np.testing.assert_allclose(np.asarray(got)[valid],
+                               np.asarray(want)[valid], rtol=1e-4,
+                               atol=2e-5)
+
+
+def test_encoder_stack_fused_grad_parity(monkeypatch):
+    """custom_vjp wrapper: pallas forward + jnp-rematerialized backward
+    must match pure jnp autodiff (loss masked downstream, as every model
+    head does)."""
+    import multimodal_transformer_tpu.ops.pallas.encoder as penc
+    from multimodal_transformer_tpu.ops.attention import encoder_stack
+
+    orig = penc.encoder_stack_fused
+    monkeypatch.setattr(
+        penc, "encoder_stack_fused",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True, "tile_b": 2}))
+
+    h = 4
+    params, x, mask, mask_np = _enc_setup(7, 3, 11, 32, 2, h)
+
+    def loss_pallas(p, xx):
+        out = penc.encoder_stack_fused_trainable(p, xx, mask, h)
+        return jnp.sum((out * mask) ** 2)
+
+    def loss_jnp(p, xx):
+        out = encoder_stack(p, xx, mask, h=h, rng=None, dropout_p=0.0,
+                            mask_mode="key_query")
+        return jnp.sum((out * mask) ** 2)
+
+    got = jax.grad(loss_pallas, argnums=(0, 1))(params, x)
+    want = jax.grad(loss_jnp, argnums=(0, 1))(params, x)
+    for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(got),
+                                jax.tree_util.tree_leaves_with_path(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5, err_msg=str(ka))
+
+
+def test_encoder_stack_dispatch_uses_fused_and_matches(monkeypatch):
+    """encoder_stack with the pallas encoder dispatched (key_query, no
+    dropout) must match the jnp path on valid positions."""
+    import multimodal_transformer_tpu.ops.dispatch as dispatch
+    import multimodal_transformer_tpu.ops.pallas.encoder as penc
+    from multimodal_transformer_tpu.ops.attention import encoder_stack
+
+    orig = penc.encoder_stack_fused
+    monkeypatch.setattr(
+        penc, "encoder_stack_fused",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True, "tile_b": 2}))
+
+    h = 8
+    params, x, mask, mask_np = _enc_setup(3, 4, 13, 128, 2, h)
+
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
+    got = encoder_stack(params, x, mask, h=h, rng=None, dropout_p=0.0,
+                        mask_mode="key_query")
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
+    want = encoder_stack(params, x, mask, h=h, rng=None, dropout_p=0.0,
+                         mask_mode="key_query")
+    valid = mask_np[..., 0] == 1
+    np.testing.assert_allclose(np.asarray(got)[valid],
+                               np.asarray(want)[valid], rtol=1e-4,
+                               atol=2e-5)
