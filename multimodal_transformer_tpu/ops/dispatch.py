@@ -32,6 +32,15 @@ loop measured pipelining, not compute):
   D=300 lanes (pad to 384) + in-VMEM [TN,F,D]->[TN*F,D] relayout cost more
   than the fusion saves.
 
+Multi-chip note: the kernels are single-device programs; under a >1-chip
+mesh GSPMD partitions the pallas_call over the batch axis.  Validated in
+interpret mode on an 8-virtual-device CPU mesh (batch-sharded x/mask,
+replicated params, exact results —
+tests/test_parallel.py::test_pallas_encoder_kernel_partitions_over_dp_mesh);
+real multi-chip TPU is not reachable from this environment, so on such
+hardware re-validate with the per-kernel overrides and fall back to
+MMTX_PALLAS=0 if a kernel fails to partition.
+
 Overrides: per-kernel MMTX_PALLAS_ATTN / MMTX_PALLAS_WEMBED /
 MMTX_PALLAS_MFN / MMTX_PALLAS_ENCODER (=0/1) beat the global MMTX_PALLAS
 (=0/1), which beats the

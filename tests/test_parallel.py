@@ -210,3 +210,39 @@ def test_device_resident_training_with_mesh():
             jax.tree_util.tree_leaves_with_path(eng4.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                    atol=5e-5, err_msg=str(ka))
+
+
+def test_pallas_encoder_kernel_partitions_over_dp_mesh():
+    """GSPMD must partition the fused encoder pallas_call over a
+    batch-sharded mesh (the situation a >1-chip TPU eval would hit with
+    the kernel dispatched): batch sharded on dp, params replicated,
+    results exact vs the unsharded jnp path.  Interpret mode — the CPU
+    analog of the TPU kernel (ops/dispatch.py multi-chip note)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from multimodal_transformer_tpu.ops.attention import (encoder_init,
+                                                          encoder_stack)
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        encoder_stack_fused)
+
+    B, T, D, h, N = 16, 24, 32, 4, 2
+    params = encoder_init(jax.random.PRNGKey(0), D, 16, N)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(B, T, D).astype(np.float32))
+    mask_np = np.ones((B, T, 1), np.float32)
+    for i in range(B):
+        mask_np[i, T - (i % 3):] = 0.0
+    mask = jnp.asarray(mask_np)
+
+    mesh = make_mesh(8)
+    bsh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    f = jax.jit(lambda p, xx, m: encoder_stack_fused(
+                    p, xx, m, h=h, interpret=True, tile_b=2),
+                in_shardings=(rep, bsh, bsh), out_shardings=bsh)
+    got = np.asarray(f(jax.device_put(params, rep),
+                       jax.device_put(x, bsh), jax.device_put(mask, bsh)))
+    want = np.asarray(encoder_stack(params, x, mask, h=h, rng=None,
+                                    dropout_p=0.0, mask_mode="key_query"))
+    valid = mask_np[..., 0] == 1
+    np.testing.assert_allclose(got[valid], want[valid], rtol=1e-4,
+                               atol=2e-5)
