@@ -51,6 +51,38 @@ def make_host_batch(cfg, seed=0, batch=None):
 V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak FLOP/s
 
 
+def wait_tpu_ready(total_wait_s: float = 900, probe_timeout_s: float = 120):
+    """Block until the (remote-tunnel) TPU actually executes work.
+
+    The axon tunnel's remote end can go unreachable for tens of minutes
+    (device list still returns instantly — only execution/fetch hangs), so
+    a raw bench run would hang, not fail.  Probe with a tiny
+    compile+execute+fetch in a killable subprocess; retry inside the
+    window.  Returns True when healthy, False if the window expires.
+    Override the window with MMTX_BENCH_WAIT (seconds, 0 = single probe).
+    """
+    import subprocess
+    total_wait_s = float(os.environ.get("MMTX_BENCH_WAIT", total_wait_s))
+    probe = ("import jax, jax.numpy as jnp, numpy as np; "
+             "x = jnp.ones((8, 8)); print(float(np.asarray(x.sum())))")
+    deadline = time.monotonic() + total_wait_s
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=probe_timeout_s,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        print("bench: TPU tunnel not serving, retrying in 60 s "
+              f"(deadline in {deadline - time.monotonic():.0f} s)",
+              file=sys.stderr)
+        time.sleep(60)
+
+
 def measure_tpu(n_chain=(10, 40), n_timed=3, batch=None):
     """Steady-state eval throughput with CHAINED iterations, slope-timed.
 
@@ -209,6 +241,13 @@ def main():
             baseline = json.load(f)["cpu_seq_per_s"]
 
     B = args.batch or BATCH
+    if not wait_tpu_ready():
+        print(json.dumps({
+            "metric": f"eval sequences/sec/chip (MFT AVL, batch={B})",
+            "value": 0, "unit": "seq/s/chip", "vs_baseline": 0,
+            "error": "TPU tunnel unreachable (execution probe timed out "
+                     "for the whole MMTX_BENCH_WAIT window)"}))
+        sys.exit(1)
     seq_per_s, mfu, flops_per_batch, dev = measure_tpu(
         n_chain=(max(args.iters // 4, 2), args.iters), batch=B)
     line = {

@@ -12,13 +12,17 @@ loop measured pipelining, not compute):
   v5e, MFT AVL, B=32, T=160, bf16 serving — ms/fwd (seq/s) end to end:
     XLA-only baseline               2.97-3.01 ms (10.6-10.8k)  (2 runs)
     + MFN full-recurrence kernel    2.67 ms (12.0k, +13%)  -> default ON
-    + fused encoder-stack kernel    2.38 ms (13.4k, +12% on top of MFN;
-      stable across 30/120- and 40/160-step chains)       -> default ON
-      (micro, long-chain: kernel 0.506 ms vs XLA 0.504 ms per 6-layer
-      encoder — PARITY in isolation; like the MFN kernel, the e2e win
-      comes from fusion boundaries, not the stage alone.  Short-chain
-      micro runs showing 1.5x either way are RTT-jitter artifacts —
-      use n2-n1 >= 300 steps for sub-ms stages.)
+    + fused encoder-stack kernel    2.02-2.08 ms (15.4-15.9k, +27-31%
+      over the XLA encoder path; stable across 10/40 and 30/120 chains,
+      idle host)                                          -> default ON
+      The p@v head-group packing matters: all-8-heads-in-one-dot
+      (av_group=8) measured only +12% e2e; grouping by 4 heads (full 128
+      output lanes at half the over-compute) took it to +27-31%.
+      Micro (one 6-layer encoder, long 50/400 chains): g=8 at parity
+      with XLA (0.506 vs 0.504 ms), g=4/g=2 ~0.40-0.53 ms (ranking
+      within tunnel noise).  Short-chain micro runs showing 1.5x either
+      way are RTT-jitter artifacts — use n2-n1 >= 300 steps for sub-ms
+      stages; e2e A/B on an IDLE host is the decisive measurement.
     + fused window-embed kernel     3.52 ms (9.1k, -17%)   -> default OFF
     + both wembed+mfn               3.21 ms (10.0k)
     + flash attention kernel        (-2x, input-perturb run) -> default OFF

@@ -59,7 +59,8 @@ def _kernel(x_ref, kmask_ref, qmask_ref,
             ln1a_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
             ln2a_ref, ln2b_ref, wff1_ref, bff1_ref, wff2_ref, bff2_ref,
             fnorm_ref, out_ref, x_s, qkv_s, attn_s,
-            *, tile_b: int, T: int, D: int, h: int, n_layers: int):
+            *, tile_b: int, T: int, D: int, h: int, n_layers: int,
+            av_group: int):
     l = pl.program_id(1)
     R = tile_b * T
     d_k = D // h
@@ -79,12 +80,13 @@ def _kernel(x_ref, kmask_ref, qmask_ref,
     # Attention, one video at a time, with all h heads PACKED along the
     # sublane axis.  Measured on v5e (B=32, T=160, D=256, bf16, slope
     # timing, same-process ranking): packed ~1.5-2x faster than the
-    # per-(video,head) loop — 2 big MXU ops + 1 softmax per video instead
-    # of 8 tiny lane-sliced ones per head.  With packing, the whole-stack
-    # kernel times at PARITY with the XLA encoder in isolation
-    # (0.506 vs 0.504 ms under long 50/400-step chains); the +12%
-    # END-TO-END win (ops/dispatch.py table) comes from fusion
-    # boundaries, exactly like the MFN kernel.
+    # per-(video,head) loop — issue a few big MXU ops + 1 softmax per
+    # video instead of 8 tiny lane-sliced ones per head.  The p@v
+    # head-group size matters: av_group=8 (every head against every
+    # head's v) leaves the stack at micro-PARITY with XLA and +12% e2e;
+    # av_group=4 (full 128 output lanes at half the over-compute) is the
+    # sweet spot at d_k=32 — +27-31% e2e over the XLA encoder path
+    # (ops/dispatch.py table).
     for b in range(tile_b):
         rows = slice(b * T, (b + 1) * T)
         qm = qmask_ref[rows, :]                     # [T, 1]
@@ -103,17 +105,22 @@ def _kernel(x_ref, kmask_ref, qmask_ref,
         s = jnp.where(qm_t == 0, NEG_INF, s)    # reference query quirk
         s = jnp.where(km == 0, NEG_INF, s)      # clean key masking
         p = jax.nn.softmax(s, axis=-1).astype(cdt)
-        # ONE MXU-shaped dot [h*T, T] @ [T, D] computes every head's p
-        # against every head's v; the diagonal blocks are the wanted
-        # outputs.  h x the FLOPs of per-head dots but far better MXU
-        # utilization + 1 issue instead of h.
-        O = jnp.dot(p, qkvb[:, 2 * D:],
-                    preferred_element_type=jnp.float32)      # [h*T, D]
-        o_cat = jnp.concatenate(
-            [O[head * T:(head + 1) * T,
-               head * d_k:(head + 1) * d_k] for head in range(h)],
-            axis=1)                                          # [T, D]
-        attn_s[rows, :] = o_cat.astype(cdt)
+        # p @ v packed in head-GROUPS of g: one [g*T, T] @ [T, g*d_k] dot
+        # computes a g-head group's p against its g heads' v; the g
+        # diagonal blocks are the wanted outputs.  g x the FLOPs of
+        # per-head dots, but g*d_k output lanes (g=4, d_k=32 -> full 128
+        # lanes) and h/g issues instead of h.
+        g = av_group
+        outs = []
+        for grp in range(h // g):
+            pg = p[grp * g * T:(grp + 1) * g * T, :]         # [g*T, T]
+            vg = qkvb[:, 2 * D + grp * g * d_k:
+                      2 * D + (grp + 1) * g * d_k]           # [T, g*d_k]
+            O = jnp.dot(pg, vg,
+                        preferred_element_type=jnp.float32)  # [g*T, g*d_k]
+            outs.extend(O[i * T:(i + 1) * T, i * d_k:(i + 1) * d_k]
+                        for i in range(g))
+        attn_s[rows, :] = jnp.concatenate(outs, axis=1).astype(cdt)
     attn = jnp.dot(attn_s[:], wout_ref[0],
                    preferred_element_type=jnp.float32) + bout_ref[0]
     x = x + attn
@@ -187,6 +194,7 @@ def _pick_tile_b(B: int, T: int, D: int) -> int:
 
 def encoder_stack_fused(params, x, mask, *, h: int = 8,
                         tile_b: int | None = None,
+                        av_group: int | None = None,
                         interpret: bool = False):
     """Fused key_query-mode encoder stack.  x: [B, T, D]; mask: [B, T, 1].
 
@@ -220,10 +228,17 @@ def encoder_stack_fused(params, x, mask, *, h: int = 8,
         return pl.BlockSpec((1,) + block, lambda b, l: (l,) + (0,) * len(block),
                             memory_space=pltpu.VMEM)
 
+    d_k = D // h
+    if av_group is None:
+        # full 128 output lanes at the least over-compute (the packed
+        # p@v dot costs av_group x the per-head FLOPs)
+        av_group = max(1, min(h, 128 // d_k))
+    while h % av_group:
+        av_group -= 1
     F = w["wff1"].shape[2]
     out = pl.pallas_call(
         functools.partial(_kernel, tile_b=tile_b, T=T, D=D, h=h,
-                          n_layers=n_layers),
+                          n_layers=n_layers, av_group=av_group),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_b, T, D), lambda b, l: (b, 0, 0),

@@ -394,3 +394,23 @@ def test_encoder_stack_dispatch_uses_fused_and_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(got)[valid],
                                np.asarray(want)[valid], rtol=1e-4,
                                atol=2e-5)
+
+
+@pytest.mark.parametrize("av_group", [1, 2, 4])
+def test_encoder_stack_fused_av_groups_exact(av_group):
+    """Every p@v head-group packing must produce identical results (the
+    group size only changes MXU shapes, not math)."""
+    from multimodal_transformer_tpu.ops.attention import encoder_stack
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        encoder_stack_fused)
+
+    h = 4
+    params, x, mask, mask_np = _enc_setup(5, 3, 19, 32, 2, h)
+    want = encoder_stack(params, x, mask, h=h, rng=None, dropout_p=0.0,
+                         mask_mode="key_query")
+    got = encoder_stack_fused(params, x, mask, h=h, interpret=True,
+                              tile_b=3, av_group=av_group)
+    valid = mask_np[..., 0] == 1
+    np.testing.assert_allclose(np.asarray(got)[valid],
+                               np.asarray(want)[valid], rtol=1e-4,
+                               atol=2e-5)
