@@ -55,6 +55,12 @@ def conv1d_window_embed(params, x):
     [B, W, F-1, 2D] @ [2D, E], then a max-reduce over the frame axis — no
     Python loops, fully batched over B*W windows, ideal MXU tiling.
 
+    Measured alternatives (v5e, linguistic B=32 T=160 F=32 D=300 bf16,
+    weight-perturb 50/400 chains): this pair-concat matmul 0.301 ms beats
+    a two-tap sum (x@K0 + shift(x@K1), 0.384 ms) and a native
+    lax.conv_general_dilated (0.324 ms) — XLA fuses the concat into the
+    matmul, so the apparent [.., F-1, 2D] intermediate never hits HBM.
+
     x: [..., F, D] (F >= 2 frames per window), params from conv1d_init
     (weight [E, D, 2]).  Returns [..., E].
     """
