@@ -191,3 +191,42 @@ def test_resume_with_orbax_backend(workdir):
     cli.main(_args(workdir, base + ["--epochs", "2", "--resume"]))
     log_text = (workdir / "train_cnn.log").read_text()
     assert "Resumed from" in log_text and "at epoch 2" in log_text
+
+
+def test_preemption_sigterm_saves_state_and_resumes(workdir, monkeypatch):
+    """SIGTERM during training (the TPU-VM preemption notice) must save the
+    full train state at the epoch boundary, exit 143, and --resume must
+    continue from there (SURVEY §5 failure-recovery)."""
+    import signal as _signal
+    from multimodal_transformer_tpu.engine.train_engine import Engine
+
+    orig_epoch = Engine.train_epoch
+    fired = []
+
+    def epoch_then_sigterm(self, *a, **kw):
+        out = orig_epoch(self, *a, **kw)
+        if not fired:
+            fired.append(1)
+            _signal.raise_signal(_signal.SIGTERM)  # delivered synchronously
+        return out
+
+    monkeypatch.setattr(Engine, "train_epoch", epoch_then_sigterm)
+    save_dir = workdir / "ModelSaveP"
+    base = ["--family", "B2-Trans", "--epochs", "4", "--lr", "1e-3",
+            "--save_dir", str(save_dir)]
+    try:
+        with pytest.raises(SystemExit) as ei:
+            cli.main(_args(workdir, base))
+        assert ei.value.code == 143
+        state = save_dir / "B2-Trans" / "B2-Trans-VL.ckpt.state"
+        assert state.exists()
+        log_text = (workdir / "train_cnn.log").read_text()
+        assert "Preempted: state saved" in log_text
+
+        monkeypatch.setattr(Engine, "train_epoch", orig_epoch)
+        best = cli.main(_args(workdir, base + ["--resume"]))
+        assert np.isfinite(best)
+        log_text = (workdir / "train_cnn.log").read_text()
+        assert "Resumed from" in log_text and "at epoch 2" in log_text
+    finally:
+        _signal.signal(_signal.SIGTERM, _signal.SIG_DFL)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import sys
 
 import numpy as np
@@ -93,6 +94,18 @@ def train_one(args, cfg, ckpt_path, logger):
     _, tr_x, tr_y, tr_l = prepare_data(cfg, args.data_dir, "Train", lvar)
     _, va_x, va_y, va_l = prepare_data(cfg, args.data_dir, "Valid", lvar)
     eng = Engine(cfg, lr=args.lr, seed=1, logger=logger)
+    # Preemption-save hook (SURVEY §5 failure-recovery plan): on SIGTERM
+    # (the preemption notice on TPU VMs), finish the current epoch, save
+    # the full train state, and exit — `--resume` picks up exactly there.
+    # Epoch granularity is enough at SEND scale (an epoch is seconds).
+    preempted = []
+
+    def _on_sigterm(sig, frame):
+        preempted.append(sig)
+        logger.info("SIGTERM received - saving state at the next epoch "
+                    "boundary")
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
     rng = np.random.RandomState(1)
     best_ccc, single_best_ccc = -1.0, -1.0
     state_path = ckpt_path + ".state"
@@ -137,6 +150,13 @@ def train_one(args, cfg, ckpt_path, logger):
         if epoch % args.save_freq == 0:
             eng.save_state(state_path, best_ccc,
                            backend=args.ckpt_backend)
+        if preempted:
+            eng.save_state(state_path, best_ccc,
+                           backend=args.ckpt_backend)
+            logger.info('Preempted: state saved to {} after epoch {}; '
+                        'rerun with --resume to continue'.format(
+                            state_path, epoch))
+            sys.exit(143)
     return best_ccc
 
 
