@@ -38,16 +38,32 @@ def main():
     ap.add_argument("--fp32", action="store_true",
                     help="fp32 training (default bf16 activations via "
                          "bf16 batch; params/opt stay fp32)")
+    ap.add_argument("--mixed", action="store_true",
+                    help="mixed-precision: cast params to bf16 INSIDE the "
+                         "loss (fwd/bwd matmuls run bf16 on the MXU), "
+                         "fp32 master params + Adam untouched")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--chains", type=int, nargs=2, default=(10, 60),
                     metavar=("N1", "N2"))
+    ap.add_argument("--family", default="MFT",
+                    help="model family to bench (diagnostic: B2-Trans is "
+                         "scan-free, isolates the MFN/LSTM scan cost)")
+    ap.add_argument("--no_dropout", action="store_true",
+                    help="diagnostic: train with rng=None (dropout off) "
+                         "to isolate the RNG/mask cost from scan latency. "
+                         "NOTE: with the Pallas kernels ON this dispatches "
+                         "their remat custom_vjps inside this script's "
+                         "60-step scan chain, whose XLA compile exhausts "
+                         "host RAM — run with MMTX_PALLAS=0 (the jnp "
+                         "paths), which is also the cleaner A/B against "
+                         "the dropout-ON jnp training path")
     args = ap.parse_args()
 
     from multimodal_transformer_tpu.models import build_model, default_config
     from multimodal_transformer_tpu.engine.optim import adam_init, adam_update
 
     B = args.batch
-    cfg = default_config("MFT", MODS, mask_mode="key_query")
+    cfg = default_config(args.family, MODS, mask_mode="key_query")
     init_fn, apply_fn = build_model(cfg)
     params = init_fn(jax.random.PRNGKey(1))
     opt_state = adam_init(params)
@@ -67,9 +83,14 @@ def main():
     def one_step(carry, key):
         params, opt_state = carry
         def loss_fn(p):
-            pred = apply_fn(p, data, mask, rng=key)
+            if args.mixed:
+                # grads flow through the cast -> arrive fp32 at the master
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16), p)
+            pred = apply_fn(p, data, mask,
+                            rng=None if args.no_dropout else key)
             d = (pred - target)
-            return jnp.sum(d * d) / denom
+            return jnp.sum((d * d).astype(jnp.float32)) / denom
         loss, grads = jax.value_and_grad(loss_fn)(params)
         params, opt_state = adam_update(params, grads, opt_state, 1e-4,
                                         weight_decay=1e-4)
@@ -118,8 +139,11 @@ def main():
 
     per_step = (times[n2] - times[n1]) / (n2 - n1)
     seq_per_s = B / per_step
-    mode = "fp32" if args.fp32 else "bf16-batch"
-    line = (f"MFT AVL train step, B={B} T={T} {mode}, dropout ON: "
+    mode = "fp32" if args.fp32 else (
+        "mixed(bf16 compute)" if args.mixed else "bf16-batch")
+    drop = "OFF" if args.no_dropout else "ON"
+    line = (f"{args.family} AVL train step, B={B} T={T} {mode}, "
+            f"dropout {drop}: "
             f"{per_step * 1e3:.3f} ms/step = {seq_per_s:,.0f} seq/s")
     if flops:
         line += (f"  (program {flops / 1e9:.1f} GFLOP/step, "

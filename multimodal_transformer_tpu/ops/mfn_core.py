@@ -34,6 +34,8 @@ h_att1=128, h_att2=256, h_gamma1=h_gamma2=64, h_out=64, dropouts
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -80,24 +82,42 @@ def mfn_scan(params, inputs, mods, *, rng=None):
     """MFN forward.  inputs: dict mod -> [B, T, D_mod] (batch-major; the
     reference permutes to time-major before its loop — the scan here is
     time-major internally).  Returns [B, T, output_dim]."""
-    first = inputs[mods[0]]
-    B, T = first.shape[0], first.shape[1]
-    dtype = first.dtype
-
     # Pallas full-recurrence kernel (ops/pallas/mfn_kernel.py): the whole
     # T-step loop inside one kernel with VMEM-resident carries/weights.
     # Default ON for TPU eval: in isolation it measures at parity with this
     # scan (~0.27 ms, stable slope timing — see mfn_kernel.py docstring),
     # but end-to-end the kernel set is +14-15% on the MFT bench (fewer
     # fusion boundaries around the recurrence).  MMTX_PALLAS_MFN=0 opts out.
-    # Training keeps the differentiable scan (kernel has no custom VJP).
+    # The kernel branch is differentiable via a remat custom_vjp (backward
+    # runs the jnp scan below) — dropout-free training (rng=None under
+    # value_and_grad) dispatches here too, like the encoder/flash kernels.
     from .dispatch import pallas_enabled
     if rng is None and pallas_enabled("mfn"):
-        from .pallas.mfn_kernel import mfn_scan_pallas
-        all_hs_b, all_mems_b = mfn_scan_pallas(params, inputs, mods)
+        all_hs_b, all_mems_b = _mfn_states_pallas_trainable(
+            params, inputs, tuple(mods))
         feats = jnp.concatenate([all_hs_b, all_mems_b], axis=2)  # [B,T,.]
         h = jax.nn.relu(linear(params["out_fc1"], feats))
         return linear(params["out_fc2"], h)
+
+    all_hs, all_mems = _mfn_states_scan(params, inputs, mods, rng=rng)
+
+    # Output head, batched over all timesteps: [T, B, total_h + mem].
+    feats = jnp.concatenate([all_hs, all_mems], axis=2)
+    out_rng = None
+    if rng is not None:
+        out_rng = jax.random.fold_in(rng, 7)
+    h = jax.nn.relu(linear(params["out_fc1"], feats))
+    h = dropout(h, out_rng, DROPOUTS["out"])
+    out = linear(params["out_fc2"], h)  # [T, B, output_dim]
+    return out.transpose(1, 0, 2)
+
+
+def _mfn_states_scan(params, inputs, mods, *, rng=None):
+    """The MFN recurrence as a lax.scan; returns TIME-major
+    (all_hs [T, B, total_h], all_mems [T, B, mem])."""
+    first = inputs[mods[0]]
+    B, T = first.shape[0], first.shape[1]
+    dtype = first.dtype
 
     # Hoist all LSTM input projections out of the recurrence: [T, B, 4H_m].
     x_projs = {}
@@ -154,13 +174,33 @@ def mfn_scan(params, inputs, mods, *, rng=None):
     (_, _, _), (all_hs, all_mems) = jax.lax.scan(
         body, (h0, c0, mem0),
         ({m: x_projs[m] for m in mods}, step_rngs))
+    return all_hs, all_mems
 
-    # Output head, batched over all timesteps: [T, B, total_h + mem].
-    feats = jnp.concatenate([all_hs, all_mems], axis=2)
-    out_rng = None
-    if rng is not None:
-        out_rng = jax.random.fold_in(rng, 7)
-    h = jax.nn.relu(linear(params["out_fc1"], feats))
-    h = dropout(h, out_rng, DROPOUTS["out"])
-    out = linear(params["out_fc2"], h)  # [T, B, output_dim]
-    return out.transpose(1, 0, 2)
+
+# Differentiable wrapper over the Pallas full-recurrence kernel: kernel
+# forward, backward rematerialized through the jnp scan (the same pattern
+# as pallas/{window_embed,attention,encoder}.py custom_vjps).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _mfn_states_pallas_trainable(params, inputs, mods):
+    from .pallas.mfn_kernel import mfn_scan_pallas
+    return mfn_scan_pallas(params, inputs, list(mods))
+
+
+def _mfn_states_fwd(params, inputs, mods):
+    return (_mfn_states_pallas_trainable(params, inputs, mods),
+            (params, inputs))
+
+
+def _mfn_states_bwd(mods, res, g):
+    params, inputs = res
+
+    def batch_major_states(p, i):
+        hs, mems = _mfn_states_scan(p, i, list(mods), rng=None)
+        return hs.transpose(1, 0, 2), mems.transpose(1, 0, 2)
+
+    _, vjp = jax.vjp(batch_major_states, params, inputs)
+    return vjp(g)
+
+
+_mfn_states_pallas_trainable.defvjp(_mfn_states_fwd, _mfn_states_bwd)

@@ -230,3 +230,19 @@ def test_preemption_sigterm_saves_state_and_resumes(workdir, monkeypatch):
         assert "Resumed from" in log_text and "at epoch 2" in log_text
     finally:
         _signal.signal(_signal.SIGTERM, _signal.SIG_DFL)
+
+
+def test_mixed_precision_and_fast_rng_flags(workdir):
+    """--mixed_precision + --fast_rng train end to end (CPU smoke)."""
+    import jax
+    args = _args(workdir, ["--family", "B2-Trans", "--epochs", "1",
+                           "--lr", "1e-3", "--mixed_precision",
+                           "--fast_rng",
+                           "--save_dir", str(workdir / "ModelSaveM")])
+    try:
+        best = cli.main(args)
+    finally:
+        # --fast_rng flips a process-global config; restore for the rest
+        # of the suite (seeded dropout streams elsewhere assume threefry)
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+    assert np.isfinite(best)

@@ -231,3 +231,39 @@ def test_b1_batched_eval_matches_per_video_after_time_softmax_masking():
     cccs_fast, _, stats_fast = eng.evaluate_batched(x, y, lens, batch_size=2,
                                                     time_multiple=4)
     np.testing.assert_allclose(cccs_ref, cccs_fast, rtol=1e-3, atol=1e-4)
+
+
+def test_mixed_precision_training_runs_and_learns(fixture):
+    """train_dtype=bf16: fwd/bwd compute in bf16, fp32 master params
+    untouched in dtype, loss decreases, and params track the fp32 run
+    loosely (same data/seed; bf16 noise only)."""
+    cfg, (tr_x, tr_y, tr_l), _ = fixture
+    eng32 = Engine(cfg, lr=1e-3, seed=11, nan_guard=False)
+    eng16 = Engine(cfg, lr=1e-3, seed=11, nan_guard=False,
+                   train_dtype=jnp.bfloat16)
+    losses16 = []
+    for _ in range(3):
+        rng32, rng16 = np.random.RandomState(5), np.random.RandomState(5)
+        l32 = eng32.train_epoch(tr_x, tr_y, tr_l, batch_size=3, rng=rng32)
+        l16 = eng16.train_epoch(tr_x, tr_y, tr_l, batch_size=3, rng=rng16)
+        losses16.append(l16)
+        assert np.isfinite(l16)
+        assert abs(l16 - l32) < 0.15 * abs(l32) + 0.05
+    assert losses16[-1] < losses16[0]  # learning
+    for leaf in jax.tree_util.tree_leaves(eng16.params):
+        assert leaf.dtype == jnp.float32  # masters stay fp32
+
+
+def test_mixed_precision_resident_training_runs(fixture):
+    cfg_q, (tr_x, tr_y, tr_l), _ = fixture
+    cfg = default_config("B2-Trans", ("acoustic", "linguistic"),
+                         mask_mode="key_query")
+    object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
+    eng = Engine(cfg, lr=1e-3, seed=11, nan_guard=False,
+                 train_dtype=jnp.bfloat16)
+    store = eng.upload_dataset(tr_x, tr_y, tr_l)
+    l1 = eng.train_epoch_resident(store, batch_size=3,
+                                  rng=np.random.RandomState(5))
+    assert np.isfinite(l1)
+    for leaf in jax.tree_util.tree_leaves(eng.params):
+        assert leaf.dtype == jnp.float32

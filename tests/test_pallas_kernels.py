@@ -414,3 +414,38 @@ def test_encoder_stack_fused_av_groups_exact(av_group):
     np.testing.assert_allclose(np.asarray(got)[valid],
                                np.asarray(want)[valid], rtol=1e-4,
                                atol=2e-5)
+
+
+def test_mfn_kernel_dispatch_grad_parity(monkeypatch):
+    """Dropout-free training (rng=None under value_and_grad) dispatches
+    the MFN kernel; its remat custom_vjp must reproduce the jnp scan's
+    gradients (this exact path raised a non-differentiable pallas_call
+    error before the fix)."""
+    import multimodal_transformer_tpu.ops.dispatch as dispatch
+    import multimodal_transformer_tpu.ops.pallas.mfn_kernel as mk
+    from multimodal_transformer_tpu.ops.mfn_core import mfn_init, mfn_scan
+
+    orig = mk.mfn_scan_pallas
+    monkeypatch.setattr(
+        mk, "mfn_scan_pallas",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+
+    mods = ["linguistic", "acoustic"]
+    dims = {"linguistic": 24, "acoustic": 16}
+    p = mfn_init(jax.random.PRNGKey(21), mods, dims, 1)
+    rs = np.random.RandomState(21)
+    B, T = 2, 6
+    inputs = {m: jnp.asarray(rs.randn(B, T, dims[m]).astype(np.float32))
+              for m in mods}
+
+    def loss(p, inputs):
+        return jnp.sum(mfn_scan(p, inputs, mods, rng=None) ** 2)
+
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
+    got = jax.grad(loss, argnums=(0, 1))(p, inputs)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
+    want = jax.grad(loss, argnums=(0, 1))(p, inputs)
+    for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(got),
+                                jax.tree_util.tree_leaves_with_path(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-5, err_msg=str(ka))

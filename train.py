@@ -25,6 +25,7 @@ import signal
 import sys
 
 import numpy as np
+import jax.numpy as jnp
 
 from multimodal_transformer_tpu.data import load_send, window_pipeline
 from multimodal_transformer_tpu.engine import (Engine, append_perf_save,
@@ -93,7 +94,9 @@ def train_one(args, cfg, ckpt_path, logger):
     lvar = "bert" if cfg.family == "B1-LSTM" else "glove"
     _, tr_x, tr_y, tr_l = prepare_data(cfg, args.data_dir, "Train", lvar)
     _, va_x, va_y, va_l = prepare_data(cfg, args.data_dir, "Valid", lvar)
-    eng = Engine(cfg, lr=args.lr, seed=1, logger=logger)
+    train_dtype = jnp.bfloat16 if args.mixed_precision else None
+    eng = Engine(cfg, lr=args.lr, seed=1, logger=logger,
+                 train_dtype=train_dtype)
     # Preemption-save hook (SURVEY §5 failure-recovery plan): on SIGTERM
     # (the preemption notice on TPU VMs), finish the current epoch, save
     # the full train state, and exit — `--resume` picks up exactly there.
@@ -358,6 +361,18 @@ def build_arg_parser():
                              'it, B1-LSTM lifts 1-s feature channels to '
                              'the 5-s rating window so multimodal combos '
                              'are trainable')
+    parser.add_argument('--mixed_precision', action='store_true',
+                        default=False,
+                        help='bf16 fwd/bwd compute with fp32 master params '
+                             '+ Adam (train curves differ within bf16 '
+                             'noise from the fp32 recipe).  Measured '
+                             'NEUTRAL on v5e at SEND scale: the train '
+                             'step is recurrence-latency-bound, not '
+                             'matmul-bound (examples/bench_train.py)')
+    parser.add_argument('--fast_rng', action='store_true', default=False,
+                        help='use the rbg PRNG for dropout (-18% measured '
+                             'train-step time on TPU; stochastically '
+                             'different dropout stream than threefry)')
     parser.add_argument('--resident_train', action='store_true',
                         default=False,
                         help='HBM-resident training: upload the split once, '
@@ -380,6 +395,13 @@ def build_arg_parser():
 def main(args):
     np.random.seed(1)
     logger = get_logger(args.log_file)
+    if args.fast_rng:
+        # rbg generates dropout bits ~an order of magnitude cheaper than
+        # threefry on TPU: measured -18% MFT train-step time (27.7 ->
+        # 22.7 ms, examples/bench_train.py).  Different dropout stream
+        # than the default — train curves differ stochastically.
+        import jax
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     if args.synthetic_data and not os.path.isdir(
             os.path.join(args.data_dir, "features")):
