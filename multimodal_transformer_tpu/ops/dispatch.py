@@ -12,7 +12,7 @@ loop measured pipelining, not compute):
   v5e, MFT AVL, B=32, T=160, bf16 serving — ms/fwd (seq/s) end to end:
     XLA-only baseline               2.97-3.01 ms (10.6-10.8k)  (2 runs)
     + MFN full-recurrence kernel    2.67 ms (12.0k, +13%)  -> default ON
-    + fused encoder-stack kernel    2.02-2.08 ms (15.4-15.9k, +27-31%
+    + fused encoder-stack kernel    1.96-2.08 ms (15.4-16.3k, +27-35%
       over the XLA encoder path; stable across 10/40 and 30/120 chains,
       idle host)                                          -> default ON
       The p@v head-group packing matters: all-8-heads-in-one-dot

