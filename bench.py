@@ -49,6 +49,7 @@ def make_host_batch(cfg, seed=0, batch=None):
 
 
 V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak FLOP/s
+V5E_FP32_PEAK = V5E_BF16_PEAK / 4  # fp32 matmuls run ~4x slower on the MXU
 
 
 def wait_tpu_ready(total_wait_s: float = 900, probe_timeout_s: float = 120):
@@ -63,7 +64,10 @@ def wait_tpu_ready(total_wait_s: float = 900, probe_timeout_s: float = 120):
     """
     import subprocess
     total_wait_s = float(os.environ.get("MMTX_BENCH_WAIT", total_wait_s))
+    # The probe must FAIL (not silently pass) if jax fell back to CPU — a
+    # CPU fallback would otherwise publish CPU throughput as seq/s/chip.
     probe = ("import jax, jax.numpy as jnp, numpy as np; "
+             "assert jax.default_backend() != 'cpu', jax.default_backend(); "
              "x = jnp.ones((8, 8)); print(float(np.asarray(x.sum())))")
     deadline = time.monotonic() + total_wait_s
     while True:
@@ -152,25 +156,28 @@ def measure_tpu(n_chain=(10, 40), n_timed=3, batch=None):
                                  jnp.zeros(mask.shape, mask.dtype))
         return jax.jit(chain).lower(params, data, mask).compile()
 
-    # FLOP count from the UNCHAINED forward: XLA's cost analysis counts a
-    # While body once (not x trip count), so the chained program reports the
-    # same total as one forward — verified on v5e (188 GFLOP @ B=32 both
-    # ways, = 5.88 GFLOP/seq, consistent with the analytic estimate).
-    flops_per_batch = None
-    try:
-        ca = jax.jit(lambda p, d, m: apply(p, d, m, rng=None)).lower(
-            params, data, mask).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        if ca and ca.get("flops"):
-            flops_per_batch = float(ca["flops"])
-    except Exception:
-        pass
-
     n1, n2 = n_chain
+    assert n1 < n2, f"slope timing needs n1 < n2, got {n_chain}"
+    # FLOP count read off the first chained program itself: XLA's cost
+    # analysis counts a While body once (not x trip count), so the chained
+    # program reports the same total as one forward — verified on v5e
+    # (188 GFLOP @ B=32 both ways, = 5.88 GFLOP/seq, consistent with the
+    # analytic estimate; the per-iteration weight perturbation adds ~2 MFLOP,
+    # 0.001% noise).  Reusing the chain avoids a third ~10-40 s remote
+    # compile that round-2 previously spent on an unchained forward.
+    flops_per_batch = None
     times = []
     for n in (n1, n2):
         compiled = make_chain(n)
+        if flops_per_batch is None:
+            try:
+                ca = compiled.cost_analysis()
+                if isinstance(ca, list):
+                    ca = ca[0]
+                if ca and ca.get("flops"):
+                    flops_per_batch = float(ca["flops"])
+            except Exception:
+                pass
         np.asarray(compiled(params, data, mask))  # warmup + fetch
         best = float("inf")
         for _ in range(n_timed):
@@ -180,7 +187,9 @@ def measure_tpu(n_chain=(10, 40), n_timed=3, batch=None):
         times.append(best)
     per_fwd = (times[1] - times[0]) / (n2 - n1)
     seq_per_s = B / per_fwd
-    mfu = (flops_per_batch * (seq_per_s / B) / V5E_BF16_PEAK
+    peak = (V5E_BF16_PEAK if os.environ.get("MMTX_BF16", "1") != "0"
+            else V5E_FP32_PEAK)  # MFU against the roofline actually in use
+    mfu = (flops_per_batch * (seq_per_s / B) / peak
            if flops_per_batch else None)
     dev = jax.devices()[0]
     return seq_per_s, mfu, flops_per_batch, str(dev)
@@ -228,6 +237,10 @@ def main():
                     help="longer of the two chained program lengths")
     ap.add_argument("--batch", type=int, default=None)
     args = ap.parse_args()
+    if args.iters < 3:
+        ap.error("--iters must be >= 3 (the short chain is "
+                 "max(iters//4, 2) and slope timing needs it strictly "
+                 "shorter than --iters)")
 
     if args.measure_baseline or not os.path.exists(BASELINE_CACHE):
         baseline = measure_cpu_baseline()
@@ -259,6 +272,7 @@ def main():
     if mfu is not None:
         line["mfu"] = round(mfu, 4)
         line["flops_per_seq"] = round(flops_per_batch / B)
+    line["device"] = dev
     print(json.dumps(line))
 
 

@@ -17,7 +17,10 @@ further and runs the WHOLE recurrence inside a single kernel invocation:
   * per-step outputs ([B, total_h] hidden concat + [B, mem] memory) stream
     out as [1, ...] blocks; the output head runs batched afterwards.
 
-Eval path only (the training path keeps the differentiable lax.scan).
+Serves eval AND dropout-free training (rng=None): mfn_core wraps this
+kernel in a remat custom_vjp whose backward rematerializes the scan, same
+pattern as the window-embed/flash/encoder kernels.  Training WITH dropout
+(rng set) keeps the differentiable lax.scan.
 Weight layout notes: W_hh passed pre-transposed [H, 4H]; gate MLP weights
 pre-transposed [in, out] so every in-kernel matmul is plain row-major.
 
@@ -37,8 +40,9 @@ jitter-dominated short slopes respectively.  In isolation the recurrence is
 latency-bound at ~1.7 us/step where scan and kernel are equivalent; END TO
 END the kernel + fused window-embed measure +14-15% on the MFT bench
 (reproduced: 8.6-8.8k vs 7.6k seq/s) — fewer fusion boundaries around the
-recurrence — so dispatch defaults the kernel ON for TPU eval
-(MMTX_PALLAS_MFN=0 opts out).  Training keeps the differentiable lax.scan.
+recurrence — so dispatch defaults the kernel ON for TPU eval and
+dropout-free training (MMTX_PALLAS_MFN=0 opts out); dropout training
+takes the lax.scan.
 
 The packed variant below (VERDICT r1 #6 experiment) collapses the step's
 ~9 mixed-width matmuls into 5 via zero-block packing; measured exactly at

@@ -71,14 +71,23 @@ def apply_window_override(cfg, spec, logger):
                 return dataclasses.replace(cfg, window_size=ws)
         return cfg
     if "=" not in spec:
-        ws = {k: int(spec) for k in ws}
+        try:
+            ws = {k: int(spec) for k in ws}
+        except ValueError:
+            sys.exit(f"error: --window_size: expected an integer or "
+                     f"chan=int[,chan=int...], got {spec!r}")
     else:
         for part in spec.split(","):
-            k, v = part.split("=")
+            try:
+                k, v = part.split("=")
+                val = int(v)
+            except ValueError:
+                sys.exit(f"error: --window_size: malformed entry {part!r} "
+                         f"(expected chan=int)")
             if k.strip() not in ws:
                 sys.exit(f"error: --window_size: unknown channel {k!r} "
                          f"(have {sorted(ws)})")
-            ws[k.strip()] = int(v)
+            ws[k.strip()] = val
     return dataclasses.replace(cfg, window_size=ws)
 
 
@@ -108,7 +117,6 @@ def train_one(args, cfg, ckpt_path, logger):
         logger.info("SIGTERM received - saving state at the next epoch "
                     "boundary")
 
-    signal.signal(signal.SIGTERM, _on_sigterm)
     rng = np.random.RandomState(1)
     best_ccc, single_best_ccc = -1.0, -1.0
     state_path = ckpt_path + ".state"
@@ -124,42 +132,52 @@ def train_one(args, cfg, ckpt_path, logger):
             sys.exit("error: --resident_train requires --mask_mode key_query "
                      "(full-padded batches are only exact with key masking)")
         store = eng.upload_dataset(tr_x, tr_y, tr_l)
-    for epoch in range(start_epoch, args.epochs + 1):
-        print("---")
-        if store is not None:
-            eng.train_epoch_resident(store, batch_size=args.batch_size,
-                                     rng=rng)
-        else:
-            eng.train_epoch(tr_x, tr_y, tr_l, batch_size=args.batch_size,
-                            rng=rng)
-        if epoch % args.eval_freq == 0:
-            _, _, _, loss, stats, (bo, bt, bi) = eng.evaluate_per_video(
-                va_x, va_y, va_l)
-            if cfg.family != "B1-LSTM":  # B1 has no scheduler (train.py:593)
-                eng.scheduler_step(loss)
-            if stats["ccc"] > best_ccc:
-                best_ccc = stats["ccc"]
-                save_checkpoint(cfg.modalities, cfg.mod_dimension,
-                                cfg.window_size, eng.params, ckpt_path)
-            if stats["max_ccc"] > single_best_ccc:
-                single_best_ccc = stats["max_ccc"]
-                logger.info('===single_max_predict===')
-                logger.info(bo)
-                logger.info(bt)
-                logger.info(bi)
-                logger.info('===end single_max_predict===')
-            logger.info('CCC_STATS\tSINGLE_BEST: {:0.9f}\tBEST: {:0.9f}'.format(
-                single_best_ccc, best_ccc))
-        if epoch % args.save_freq == 0:
-            eng.save_state(state_path, best_ccc,
-                           backend=args.ckpt_backend)
-        if preempted:
-            eng.save_state(state_path, best_ccc,
-                           backend=args.ckpt_backend)
-            logger.info('Preempted: state saved to {} after epoch {}; '
-                        'rerun with --resume to continue'.format(
-                            state_path, epoch))
-            sys.exit(143)
+    # Install the hook only for the epoch loop and always restore the prior
+    # handler: train_one is also called in-process (tests, library use), and
+    # a leaked handler bound to a dead `preempted` list would silently
+    # swallow later SIGTERMs to the host process.
+    prev_sigterm = signal.getsignal(signal.SIGTERM)
+    signal.signal(signal.SIGTERM, _on_sigterm)
+    try:
+        for epoch in range(start_epoch, args.epochs + 1):
+            print("---")
+            if store is not None:
+                eng.train_epoch_resident(store, batch_size=args.batch_size,
+                                         rng=rng)
+            else:
+                eng.train_epoch(tr_x, tr_y, tr_l, batch_size=args.batch_size,
+                                rng=rng)
+            if epoch % args.eval_freq == 0:
+                _, _, _, loss, stats, (bo, bt, bi) = eng.evaluate_per_video(
+                    va_x, va_y, va_l)
+                if cfg.family != "B1-LSTM":  # B1: no scheduler (train.py:593)
+                    eng.scheduler_step(loss)
+                if stats["ccc"] > best_ccc:
+                    best_ccc = stats["ccc"]
+                    save_checkpoint(cfg.modalities, cfg.mod_dimension,
+                                    cfg.window_size, eng.params, ckpt_path)
+                if stats["max_ccc"] > single_best_ccc:
+                    single_best_ccc = stats["max_ccc"]
+                    logger.info('===single_max_predict===')
+                    logger.info(bo)
+                    logger.info(bt)
+                    logger.info(bi)
+                    logger.info('===end single_max_predict===')
+                logger.info(
+                    'CCC_STATS\tSINGLE_BEST: {:0.9f}\tBEST: {:0.9f}'.format(
+                        single_best_ccc, best_ccc))
+            if epoch % args.save_freq == 0:
+                eng.save_state(state_path, best_ccc,
+                               backend=args.ckpt_backend)
+            if preempted:
+                eng.save_state(state_path, best_ccc,
+                               backend=args.ckpt_backend)
+                logger.info('Preempted: state saved to {} after epoch {}; '
+                            'rerun with --resume to continue'.format(
+                                state_path, epoch))
+                sys.exit(143)
+    finally:
+        signal.signal(signal.SIGTERM, prev_sigterm)
     return best_ccc
 
 
@@ -168,18 +186,7 @@ def eval_mode(args, logger):
     print("evaluating on the " + eval_dir + " Set.")
     family = args.family
     mask_mode = "key_query" if args.fast_eval else args.mask_mode
-    if args.load.endswith(".pth"):
-        # reference torch checkpoint: convert on the fly (engine/convert.py)
-        from multimodal_transformer_tpu.engine.convert import convert_pth
-        cfg, params, _ = convert_pth(args.load, family, mask_mode=mask_mode)
-    else:
-        ck = load_checkpoint(args.load)
-        cfg = default_config(family, ck["modalities"], mask_mode=mask_mode)
-        object.__setattr__(cfg, "mod_dimension",
-                           {k: int(v) for k, v in ck["mod_dimension"].items()})
-        object.__setattr__(cfg, "window_size",
-                           {k: int(v) for k, v in ck["window_size"].items()})
-        params = ck["model"]
+    cfg, params = load_any_checkpoint(args.load, family, mask_mode=mask_mode)
     lvar = ("bert" if family == "B1-LSTM" and cfg.variant != "legacy"
             else "glove")
     ds, x, y, lens = prepare_data(cfg, args.data_dir, eval_dir, lvar)
