@@ -35,8 +35,12 @@ def save_checkpoint(modalities, mod_dimension, window_size, params,
     if extra:
         payload["extra"] = extra
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+    # atomic: a preemption mid-write must not truncate the previously-saved
+    # best checkpoint (same tmp+replace hardening as save_train_state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:

@@ -72,6 +72,17 @@ def save_params(path: str, *, model_name: str, args_dict: dict,
     if extra:
         cols.update(extra)
     header_needed = not os.path.exists(path)
+    if not header_needed:
+        # appended rows must line up with the existing header — a changed
+        # `extra` key set across runs would otherwise silently misalign
+        # columns in the TSV
+        with open(path, newline="") as f:
+            existing = next(csv.reader(f, delimiter="\t"), None)
+        if existing is not None and existing != list(cols.keys()):
+            raise ValueError(
+                f"save_params: column set {list(cols.keys())} does not "
+                f"match the existing header of {path}: {existing}; write "
+                f"to a new file or pass matching `extra` keys")
     with open(path, "a", newline="") as f:
         w = csv.writer(f, delimiter="\t")
         if header_needed:

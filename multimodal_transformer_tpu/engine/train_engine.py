@@ -283,7 +283,9 @@ class Engine:
         self._epoch += 1
         if jax_rng is None:
             jax_rng = jax.random.PRNGKey(self._epoch)
-        n = int(store["target"].shape[0])
+        # real videos only: under a mesh, store rows are padded to a multiple
+        # of the mesh size, and those pad rows must never enter a batch index
+        n = len(store["lengths"])
         index = np.arange(n)
         (rng or np.random).shuffle(index)
         loss_sum, data_num, batch_num = 0.0, 0, 0
@@ -324,9 +326,11 @@ class Engine:
 
     def evaluate_per_video(self, data, target, seq_lens
                            ) -> Tuple[List[float], List[List[float]],
-                                      List[List[float]], float, Dict]:
+                                      List[List[float]], float, Dict,
+                                      Tuple]:
         """Reference-exact eval: bs=1 per video, no shuffle, zero padding.
-        Returns (cccs, predictions, actuals, loss, stats)."""
+        Returns (cccs, predictions, actuals, loss, stats,
+        (best_pred, best_actual, best_index))."""
         cccs, corrs, preds, actuals = [], [], [], []
         loss_sum, data_num = 0.0, 0
         best = (-1.0, None, None, 0)
@@ -367,8 +371,16 @@ class Engine:
         """TPU-throughput eval over bucketed static shapes.
 
         Per-video CCC computed on device; a handful of XLA programs total.
-        Exact iff cfg.mask_mode == 'key_query' (padding-invariant attention).
+        Exact iff cfg.mask_mode == 'key_query' (padding-invariant attention)
+        — enforced here: under the reference 'query' quirk, padded keys are
+        attended, so bucket padding would silently perturb every metric.
+        Use evaluate_per_video for parity evals in 'query' mode.
         """
+        if self.cfg.mask_mode != "key_query":
+            raise ValueError(
+                "evaluate_batched pads the time axis to bucket bounds, "
+                "which is only metric-preserving with mask_mode='key_query' "
+                f"(got {self.cfg.mask_mode!r}); use evaluate_per_video")
         n_videos = target.shape[0]
         cccs = np.zeros(n_videos)
         loss_sum, data_num = 0.0, 0

@@ -46,7 +46,13 @@ def frontend_apply(params, inputs, mods, *, rng=None, dropout_p: float = 0.3,
     # rematerializes through the jnp path), so it serves train + eval.
     use_fused = not relu_proj and pallas_enabled("wembed")
     for mod, mod_rng in zip(mods, rngs):
+        fused_ok = False
         if use_fused and inputs[mod].shape[2] >= 2:
+            from ..ops.pallas.window_embed import wembed_fits_vmem
+            _, _, F, D = inputs[mod].shape
+            E = params[f"cnn_{mod}"]["conv1d"]["weight"].shape[0]
+            fused_ok = wembed_fits_vmem(F, D, E)
+        if fused_ok:
             from ..ops.pallas.window_embed import (
                 window_embed_highway_trainable)
             x = window_embed_highway_trainable(params[f"cnn_{mod}"]["conv1d"],

@@ -2,9 +2,9 @@
 
 Kernels are drop-in replacements for the jnp reference implementations in
 ops/ (which remain the source of truth for numerics tests and CPU runs).
-Selection is explicit via ops.dispatch.use_pallas() — default: enabled on TPU
-backends, disabled elsewhere (the jnp path is used under interpret-mode in
-tests).
+Selection is explicit via ops.dispatch.pallas_enabled(kind) — per-kernel
+defaults on TPU backends (see the measured table in ops/dispatch.py),
+disabled elsewhere (the jnp path is used under interpret-mode in tests).
 """
 
 from .window_embed import fused_window_embed_highway

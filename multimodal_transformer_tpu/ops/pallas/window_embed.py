@@ -18,7 +18,8 @@ Kernel design (TPU):
     materializes it);
   * grid over tiles of N = B*W windows; all weights stay resident per tile.
 
-Falls back to the jnp path (ops.basic) for shapes too large for VMEM.
+The caller (models/frontend.py) falls back to the jnp path (ops.basic) for
+shapes too large for VMEM — gate on `wembed_fits_vmem(F, D, E)`.
 """
 
 from __future__ import annotations
@@ -29,6 +30,14 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def wembed_fits_vmem(F: int, D: int, E: int) -> bool:
+    """True when even the minimum window tile (tile_n=8) fits the kernel's
+    ~6 MB VMEM budget; callers must take the jnp path otherwise (the kernel
+    would fail Mosaic compilation with an opaque VMEM error)."""
+    per_n = 4 * (F * D + F * 2 * E + 3 * E)
+    return 8 * per_n <= 6 * 1024 * 1024
 
 
 def _kernel(x_ref, kcat_ref, bias_ref, wp_ref, bp_ref, wg_ref, bg_ref,

@@ -74,6 +74,11 @@ def test_save_predictions_and_params(tmp_path):
                 train_stats={}, test_stats={})
     lines = ph.read_text().splitlines()
     assert len(lines) == 3  # header + 2 rows
+    # a changed column set across runs must be rejected, not silently
+    # misaligned under the old header
+    with pytest.raises(ValueError, match="does not match"):
+        save_params(str(ph), model_name="MFT", args_dict={},
+                    train_stats={}, test_stats={}, extra={"seed": 1})
 
 
 def test_engine_resume_roundtrip(tmp_path):

@@ -102,6 +102,17 @@ def test_checkpoint_roundtrip(fixture):
     np.testing.assert_allclose(b1, b2, rtol=1e-6)
 
 
+def test_batched_eval_rejects_query_mask_mode(fixture):
+    """Bucket padding perturbs attention under the reference 'query' quirk;
+    evaluate_batched must refuse rather than return silently-wrong CCCs."""
+    _, _, (va_x, va_y, va_l) = fixture
+    cfg = default_config("B2-Trans", ("acoustic", "linguistic"))  # 'query'
+    object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
+    eng = Engine(cfg, seed=5)
+    with pytest.raises(ValueError, match="key_query"):
+        eng.evaluate_batched(va_x, va_y, va_l, batch_size=2, time_multiple=8)
+
+
 def test_batched_eval_matches_per_video_in_clean_mask_mode(fixture):
     _, (tr_x, tr_y, tr_l), (va_x, va_y, va_l) = fixture
     cfg = default_config("B2-Trans", ("acoustic", "linguistic"),

@@ -110,7 +110,8 @@ def test_engine_with_mesh_matches_single_device():
     """Engine(mesh=...) must reproduce single-device training + eval."""
     from multimodal_transformer_tpu.engine import Engine
 
-    cfg = default_config("B2-Trans", ("acoustic", "linguistic"))
+    cfg = default_config("B2-Trans", ("acoustic", "linguistic"),
+                         mask_mode="key_query")  # evaluate_batched requires
     object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
     rs = np.random.RandomState(0)
     V, T, Fr = 6, 8, 3
@@ -182,11 +183,14 @@ def test_device_resident_training_with_mesh():
     cfg = default_config("B2-Trans", ("acoustic",), mask_mode="key_query")
     object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
     rs = np.random.RandomState(1)
-    V, T, Fr = 8, 5, 3
+    # V=6 is deliberately NOT a multiple of the 4-device mesh: upload_dataset
+    # pads the store to 8 rows, and the epoch must index only the 6 real
+    # videos (regression for the padded-row IndexError/ghost-row bug)
+    V, T, Fr = 6, 5, 3
     x = {"acoustic": rs.randn(V, T, Fr, SMALL_DIMS["acoustic"])
          .astype(np.float32)}
     y = rs.rand(V, T).astype(np.float32)
-    lens = [5, 5, 4, 4, 3, 3, 2, 5]
+    lens = [5, 5, 4, 4, 3, 2]
 
     class NoShuffle:
         def shuffle(self, a):
