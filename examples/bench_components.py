@@ -70,7 +70,6 @@ def main():
     dt = data[MODS[0]].dtype
     eps = jnp.asarray(1e-30, dt)
     head = params["Transformer"]
-    embed_dims = {"acoustic": 256, "image": 256, "linguistic": 256}
 
     results = {}
 

@@ -5,10 +5,14 @@ variants on TPU.
 Round 1 timed each variant with per-call dispatch over the remote tunnel;
 VERDICT round 1 asked for a re-measurement.  Methodology (same as bench.py):
 each candidate runs n full forwards inside one jitted lax.fori_loop where
-EVERY modality's input at step i+1 consumes step i's output (no overlap, no
-loop-invariant hoisting); the result is fetched to host (the remote
-backend's block_until_ready returns early); per-forward ms is the slope
-between two chain lengths (cancels tunnel RTT + transfer).
+step i+1's LSTM input-projection WEIGHTS (every modality) consume step i's
+output — a top-of-graph dependency (no overlap, no loop-invariant hoisting)
+whose perturbation traffic is ~µs.  Perturbing the [B,T,D] input tensors
+instead re-materializes ~15 MB/iteration — the measurement artifact the
+CLAUDE.md timing rule forbids (it biased early round-2 A/B verdicts).  The
+result is fetched to host (the remote backend's block_until_ready returns
+early); per-forward ms is the slope between two chain lengths (cancels
+tunnel RTT + transfer).
 
 Usage: python examples/bench_mfn_kernel.py  (on the TPU backend)
 """
@@ -58,9 +62,13 @@ def time_chained(fn, params, inputs):
     def timed(n):
         def prog(params, inputs):
             def body(_, carry):
-                d = {m: v + carry * jnp.asarray(1e-30, v.dtype)
-                     for m, v in inputs.items()}
-                return fn(params, d)
+                s = jnp.sum(carry) * jnp.asarray(1e-30, carry.dtype)
+                p = dict(params)
+                for m in MODS:  # weight-perturb chaining (see docstring)
+                    lstm = dict(p[f"lstm_{m}"])
+                    lstm["weight_ih"] = lstm["weight_ih"] + s
+                    p[f"lstm_{m}"] = lstm
+                return fn(p, inputs)
             return lax.fori_loop(0, n, body,
                                  jnp.zeros((B, T, 1),
                                            inputs[MODS[0]].dtype))

@@ -27,7 +27,7 @@ loop measured pipelining, not compute):
     + both wembed+mfn               3.21 ms (10.0k)
     + flash attention kernel        (-2x, input-perturb run) -> default OFF
   Micro (MFN recurrence alone, fp32, stable long-chain slopes): kernel and
-  scan are at PARITY (~0.27 ms) — the end-to-end MFN-kernel win comes from
+  scan are at PARITY (~0.24-0.27 ms) — the end-to-end MFN-kernel win comes from
   fusion boundaries, not the recurrence itself (mfn_kernel.py docstring).
   The flash kernel genuinely loses: T=160, d_k=32 blocks underfill the MXU
   pipeline vs one fused XLA batch matmul at SEND scale.  The wembed kernel

@@ -25,14 +25,15 @@ Weight layout notes: W_hh passed pre-transposed [H, 4H]; gate MLP weights
 pre-transposed [in, out] so every in-kernel matmul is plain row-major.
 
 MEASURED RESULT (round 2, v5e-1, B=32, T=160, A+V+L, fp32; honest + STABLE
-methodology — chained forwards, host-fetch timing, slope between n=20 and
-n=120 so the delta is >>10x the ~1-2 ms tunnel jitter,
-examples/bench_mfn_kernel.py, reproduced twice):
-    lax.scan                0.262-0.268 ms
-    this kernel (unpadded)  0.268-0.275 ms   (parity)
-    packed 5-matmul step    0.268-0.273 ms   (parity; see below)
-    gate-aligned variant    0.340-0.344 ms   (loses: 128-lane padding
-                                              inflates every dot)
+methodology — WEIGHT-perturb chained forwards (input-perturb chains carry a
+re-materialization artifact, CLAUDE.md timing rule), host-fetch timing,
+slope between n=20 and n=120 so the delta is >>10x the ~1-2 ms tunnel
+jitter, examples/bench_mfn_kernel.py, reproduced across chain styles):
+    lax.scan                0.24-0.27 ms
+    this kernel (unpadded)  0.25-0.28 ms   (parity)
+    packed 5-matmul step    0.24-0.27 ms   (parity; see below)
+    gate-aligned variant    0.33-0.34 ms   (loses: 128-lane padding
+                                            inflates every dot)
 Round 1's numbers (scan 1.4-1.7 ms vs kernel 1.9-2.1 ms) and an interim
 round-2 short-chain measurement (0.53 vs 0.31 ms) were both measurement
 artifacts — per-call dispatch, early-returning block_until_ready, and

@@ -99,34 +99,60 @@ int parse_table(const char* path, char delim, float** out_data,
   while (p < end) {
     line_end = static_cast<const char*>(memchr(p, '\n', end - p));
     if (!line_end) line_end = end;
-    if (line_end > p) {  // skip blank lines
+    // bound every parse to [p, le): strtof skips leading whitespace
+    // INCLUDING '\r'/'\n', so an unbounded parse of a trailing empty cell
+    // would steal the next line's first number (and parse it twice)
+    const char* le = line_end;
+    if (le > p && le[-1] == '\r') --le;
+    if (le > p) {  // skip blank lines (pandas skip_blank_lines semantics)
       int64_t c = 0;
       const char* q = p;
-      while (q < line_end && c < cols) {
-        if (ws) {
-          while (q < line_end && isspace((unsigned char)*q)) ++q;
-          if (q >= line_end) break;
-        }
-        char* next = nullptr;
-        float v = strtof(q, &next);
-        if (next == q) {  // unparseable cell -> NaN, skip token
-          v = NAN;
-          if (ws) {
-            while (q < line_end && !isspace((unsigned char)*q)) ++q;
+      bool overflow = false;
+      if (ws) {
+        while (q < le && c < cols) {
+          while (q < le && isspace((unsigned char)*q)) ++q;
+          if (q >= le) break;
+          char* next = nullptr;
+          float v = strtof(q, &next);
+          if (next == q) {  // unparseable token -> NaN, skip it
+            v = NAN;
+            while (q < le && !isspace((unsigned char)*q)) ++q;
           } else {
-            while (q < line_end && *q != delim) ++q;
+            q = next;
           }
-        } else {
-          q = next;
+          data.push_back(v);
+          ++c;
         }
-        data.push_back(v);
-        ++c;
-        if (!ws) {
-          while (q < line_end && *q != delim) ++q;
-          if (q < line_end && *q == delim) ++q;
+        while (q < le && isspace((unsigned char)*q)) ++q;
+        overflow = (q < le);  // tokens beyond the header width remain
+      } else {
+        bool more = true;  // a non-blank line has at least one cell
+        while (more && c < cols) {
+          const char* cell_end =
+              static_cast<const char*>(memchr(q, delim, le - q));
+          more = (cell_end != nullptr);
+          if (!more) cell_end = le;
+          const char* cs = q;
+          while (cs < cell_end && isspace((unsigned char)*cs)) ++cs;
+          const char* ce = cell_end;
+          while (ce > cs && isspace((unsigned char)ce[-1])) --ce;
+          float v = NAN;  // empty/whitespace-only cell -> NaN (pandas)
+          if (cs < ce) {
+            std::string tok(cs, ce - cs);
+            char* nend = nullptr;
+            float parsed = strtof(tok.c_str(), &nend);
+            if (nend != tok.c_str()) v = parsed;
+          }
+          data.push_back(v);
+          ++c;
+          q = cell_end + (more ? 1 : 0);
         }
+        overflow = (more && c == cols);  // a delimiter after the last col
       }
-      while (c < cols) {  // ragged row -> pad NaN
+      // a row WIDER than the header is malformed data the pandas path
+      // fails loudly on; match it instead of silently dropping cells
+      if (overflow) return -6;
+      while (c < cols) {  // ragged (narrower) row -> pad NaN
         data.push_back(NAN);
         ++c;
       }

@@ -92,7 +92,9 @@ def replay_and_diff(ckpt_path, perf_csv, data_dir, splits, tolerance,
             rows.append((split, vid, ours[vid], float(r["CCC"]), delta))
             if delta > tolerance:
                 ok = False
-        if matched == 0 and len(ref_split):
+        if matched == 0:
+            # an empty ref_split (missing/mis-cased Set value) must fail
+            # too — a gate that compared zero videos has verified nothing
             ok = False
     return ok, rows
 

@@ -12,11 +12,15 @@ CPU backend is first initialized (it is lazy, so this works from conftest).
 """
 
 import os
+import re
 
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite requires EXACTLY 8 virtual CPU devices; a pre-existing flag with
+# any other value would make every multi-device test fail with errors that
+# look like product bugs, so rewrite it rather than merely append.
+xla_flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   os.environ.get("XLA_FLAGS", "")).strip()
+os.environ["XLA_FLAGS"] = (
+    xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 

@@ -178,6 +178,17 @@ def test_parity_replay_harness(workdir):
                                 ["Valid"], tolerance=1e-6)
     assert not ok2
 
+    # a split with ZERO matching reference rows must fail, not pass
+    # vacuously ("0 videos compared" is not a verified checkpoint)
+    df_no_valid = pd.read_csv(perf_csv)
+    df_no_valid = df_no_valid[df_no_valid["Set"] != "Valid"]
+    novalid = workdir / "PerfSave" / "B2-Trans-novalid.csv"
+    df_no_valid.to_csv(novalid, index=False)
+    ok3, _ = pr.replay_and_diff(str(ckpt), str(novalid),
+                                str(workdir / "SENDv1-data"),
+                                ["Valid"], tolerance=1e-6)
+    assert not ok3
+
 
 def test_resume_with_orbax_backend(workdir):
     """CLI roundtrip: --ckpt_backend orbax writes an atomic-commit state

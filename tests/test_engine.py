@@ -86,10 +86,10 @@ def test_end_to_end_training_reduces_loss(fixture):
     assert len(preds[0]) == va_l[0]
 
 
-def test_checkpoint_roundtrip(fixture):
+def test_checkpoint_roundtrip(fixture, tmp_path):
     cfg, (tr_x, tr_y, tr_l), _ = fixture
     eng = Engine(cfg, seed=2)
-    path = "/tmp/mmtx_test_ckpt/B2.ckpt"
+    path = str(tmp_path / "B2.ckpt")
     save_checkpoint(cfg.modalities, cfg.mod_dimension, cfg.window_size,
                     eng.params, path)
     ck = load_checkpoint(path)
@@ -223,12 +223,11 @@ def test_device_resident_remainder_batch_weighting():
                                       err_msg=str(ka))
 
 
-def test_b1_batched_eval_matches_per_video_after_time_softmax_masking():
+def test_b1_batched_eval_matches_per_video_after_time_softmax_masking(
+        tmp_path):
     """Regression for the review finding: B1's time-axis softmax must be
     padding-invariant in key_query mode so bucketed eval == per-video."""
-    d = "/tmp/mmtx_b1_fix"
-    import os, shutil
-    shutil.rmtree(d, ignore_errors=True)
+    d = str(tmp_path / "b1_fix")
     generate_synthetic_send(d, {"Valid": 4}, duration_s=24.0,
                             dims=SMALL_DIMS, seed=9)
     cfg = default_config("B1-LSTM", ("linguistic",), mask_mode="key_query",

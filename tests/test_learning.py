@@ -41,14 +41,16 @@ def test_family_learns_synthetic_latent(data, family, mods, epochs, min_ccc):
     def attempt(seed):
         eng = Engine(cfg, lr=2e-3, seed=seed)
         rng = np.random.RandomState(seed)
-        first_loss = eng.train_epoch(tx, ty, tl, batch_size=4, rng=rng)
+        first_loss = last_loss = eng.train_epoch(tx, ty, tl, batch_size=4,
+                                                 rng=rng)
         for _ in range(epochs - 1):
             last_loss = eng.train_epoch(tx, ty, tl, batch_size=4, rng=rng)
         _, _, _, _, stats, _ = eng.evaluate_per_video(vx, vy, vl)
         # loss-decrease is part of the retryable outcome, not a hard
         # assert — the same reduction-order nondeterminism that can sink
         # the CCC threshold can sink this comparison on a single seed
-        return stats if last_loss < first_loss else None
+        # (epochs == 1 has no decrease to measure; CCC alone gates then)
+        return stats if (epochs == 1 or last_loss < first_loss) else None
 
     # Every RNG is seeded, but XLA's CPU backend does not pin reduction
     # order across runs, and ~1e-16 dot-product differences compound over

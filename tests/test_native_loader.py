@@ -69,3 +69,28 @@ def test_native_nan_cells():
         assert arr[0, 0] == 1.5
         assert np.isnan(arr[0, 1])
         assert np.isnan(arr[1, 1])
+
+
+def test_native_crlf_trailing_empty_cell_is_nan(tmp_path):
+    """Regression: strtof skips whitespace incl. \\r\\n, so an UNBOUNDED
+    parse of a trailing empty cell stole the next line's first number (and
+    parsed it twice).  The cell must be NaN and the next row intact."""
+    p = tmp_path / "t.csv"
+    p.write_bytes(b"a,b,c\r\n1,2,\r\n3,4,5\r\n")
+    arr, header = native_loader.parse_table(str(p), "csv")
+    assert header == ["a", "b", "c"]
+    assert arr.shape == (2, 3)
+    assert np.isnan(arr[0, 2])
+    assert arr[1].tolist() == [3.0, 4.0, 5.0]
+
+
+def test_native_row_wider_than_header_falls_back(tmp_path):
+    """Rows wider than the header are malformed; the native path must refuse
+    (returning None -> pandas fallback, which fails loudly) instead of
+    silently dropping the overflow cells."""
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,2,9\n")
+    assert native_loader.parse_table(str(p), "csv") is None
+    q = tmp_path / "t.ssv"
+    q.write_text("a b\n1 2 9\n")
+    assert native_loader.parse_table(str(q), "ssv") is None
