@@ -11,6 +11,10 @@ RTT + transfer constants; host-fetch timing per the repo timing rule).
 Covers the full reference recipe: dropout ON (per-step folded rng), Adam +
 coupled weight decay, sum-MSE/denom loss (engine/train_engine.py:60-72).
 
+Dropout impl A/B (v5e, same session, this script): threefry 32.6 ms/step
+vs hash 17.6 ms/step (1.86x) — set MMTX_DROPOUT_IMPL=threefry|hash to
+reproduce (default hash, ops/basic.py).
+
 Usage: python examples/bench_train.py [--fp32] [--batch 32]
 """
 from __future__ import annotations

@@ -28,14 +28,97 @@ def mlp_relu(p1, p2, x, rng=None, dropout_p=0.0):
     return linear(p2, h)
 
 
+_DROPOUT_IMPLS = ("hash", "threefry")
+_dropout_impl_override: str | None = None
+
+
+def set_dropout_impl(impl: str | None) -> None:
+    """Select the dropout mask generator ("hash" or "threefry", None resets
+    to the default).  The MMTX_DROPOUT_IMPL env var beats this."""
+    if impl is not None and impl not in _DROPOUT_IMPLS:
+        raise ValueError(f"dropout impl must be one of {_DROPOUT_IMPLS}, "
+                         f"got {impl!r}")
+    global _dropout_impl_override
+    _dropout_impl_override = impl
+
+
+def _dropout_impl() -> str:
+    import os
+    env = os.environ.get("MMTX_DROPOUT_IMPL")
+    if env in _DROPOUT_IMPLS:
+        return env
+    if _dropout_impl_override is not None:
+        return _dropout_impl_override
+    # default "hash": 1.86x the measured MFT train step on v5e (32.6 ->
+    # 17.6 ms/step, examples/bench_train.py A/B) — threefry bit-generation
+    # dominated the step.  Same inverted-dropout semantics, deterministic
+    # in (key, shape), identical on CPU and TPU.
+    return "hash"
+
+
+def hash_seed(rng):
+    """Fold a JAX PRNG key into one uint32 seed for hash_keep_mask.
+
+    Works for any key impl (threefry key_data is (2,), rbg (4,)): mix the
+    words with distinct odd constants so different keys (e.g. the two
+    halves of a split) land far apart."""
+    kd = jax.random.key_data(rng).ravel().astype(jnp.uint32)
+    seed = jnp.uint32(0x2545F491)
+    for i in range(kd.shape[0]):
+        seed = (seed ^ kd[i]) * jnp.uint32(0x9E3779B1 + 2 * i)
+    return seed
+
+
+def hash_keep_mask(seed, idx, p: float):
+    """Counter-based Bernoulli(1-p) keep mask: murmur3's fmix32 finalizer
+    over a position counter with the seed injected up front.
+
+    fmix32 is designed to avalanche sequential integers, which is exactly
+    the dropout requirement (decorrelate neighboring positions); it is ~6
+    vector ops/element vs threefry's 20 rounds — the reason the "hash"
+    dropout impl exists (threefry bit-generation dominates the reference
+    train step on TPU, examples/bench_train.py).  Deterministic and
+    platform-independent: pure uint32 arithmetic, identical on CPU/TPU —
+    and reproducible inside a Pallas kernel from (seed, position) alone,
+    which is what lets a fused kernel apply the same masks the jnp
+    backward regenerates.
+
+    seed: uint32 scalar; idx: uint32 position counter array; returns a
+    bool array of idx's shape with P(True) = 1 - p."""
+    h = idx * jnp.uint32(0x9E3779B1) + seed
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    # P(h < t) = p for t = round(p * 2^32) over the uniform uint32 h
+    threshold = jnp.uint32(min(int(round(p * 2.0 ** 32)), 2 ** 32 - 1))
+    return h >= threshold
+
+
 def dropout(x, rng, p: float):
     """Inverted dropout, identical to torch nn.Dropout train-mode scaling.
 
-    rng=None (or p==0) => identity (eval mode)."""
+    rng=None (or p==0) => identity (eval mode).  Mask bits come from the
+    impl selected by MMTX_DROPOUT_IMPL / set_dropout_impl:
+      - "hash" (default): counter-based fmix32 of the flat position,
+        seeded from the key (hash_keep_mask) — same inverted-dropout
+        semantics and the same per-site key independence (every call site
+        already receives a distinct split key), ~an order of magnitude
+        cheaper to generate than threefry, whose bit-generation dominated
+        the TPU train step (1.86x step A/B, examples/bench_train.py);
+      - "threefry": jax.random.bernoulli on the passed key — the round-1
+        behavior, for reproducing old training runs.
+    Either way dropout is deterministic in (key, shape) and identical on
+    CPU and TPU."""
     if rng is None or p == 0.0:
         return x
     keep = 1.0 - p
-    mask = jax.random.bernoulli(rng, keep, x.shape)
+    if _dropout_impl() == "hash":
+        idx = jnp.arange(x.size, dtype=jnp.uint32).reshape(x.shape)
+        mask = hash_keep_mask(hash_seed(rng), idx, p)
+    else:
+        mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0)
 
 

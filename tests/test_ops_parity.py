@@ -369,3 +369,46 @@ def test_encoder_stack_batched_matches_sequential():
                           for i, p in enumerate(plist)])
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_hash_dropout_semantics():
+    """The default "hash" dropout impl must keep torch nn.Dropout
+    train-mode semantics: P(keep)=1-p, kept values scaled by 1/(1-p),
+    deterministic in the key, different across split keys, and selectable
+    against the round-1 "threefry" stream."""
+    from multimodal_transformer_tpu.ops.basic import (
+        dropout, set_dropout_impl, _dropout_impl)
+
+    assert _dropout_impl() == "hash"  # the documented default
+    k = jax.random.PRNGKey(7)
+    x = jnp.ones((128, 500))
+    for p in (0.1, 0.4):
+        y = np.asarray(dropout(x, k, p))
+        keep_rate = (y != 0).mean()
+        assert abs(keep_rate - (1 - p)) < 0.01, (p, keep_rate)
+        # inverted-dropout scaling: every kept value is exactly 1/(1-p)
+        np.testing.assert_allclose(y[y != 0], 1.0 / (1 - p), rtol=1e-6)
+        # E[y] stays ~1 (the property training depends on)
+        assert abs(y.mean() - 1.0) < 0.02
+    # deterministic in (key, shape); split keys give independent masks
+    a = np.asarray(dropout(x, k, 0.3))
+    assert (a == np.asarray(dropout(x, k, 0.3))).all()
+    k2, k3 = jax.random.split(k)
+    b = np.asarray(dropout(x, k2, 0.3))
+    assert not (a == b).all()
+    c = np.asarray(dropout(x, k3, 0.3))
+    overlap = ((b != 0) == (c != 0)).mean()  # ~ (1-p)^2 + p^2 if indep
+    assert abs(overlap - 0.58) < 0.02, overlap
+    # rng=None / p=0 are identity regardless of impl
+    assert dropout(x, None, 0.5) is x
+    assert dropout(x, k, 0.0) is x
+    # the round-1 threefry stream is still selectable and differs
+    try:
+        set_dropout_impl("threefry")
+        t = np.asarray(dropout(x, k, 0.3))
+        assert abs((t != 0).mean() - 0.7) < 0.01
+        assert not (t == a).all()
+    finally:
+        set_dropout_impl(None)
+    with pytest.raises(ValueError):
+        set_dropout_impl("xorshift")

@@ -377,9 +377,17 @@ def build_arg_parser():
                              'step is recurrence-latency-bound, not '
                              'matmul-bound (examples/bench_train.py)')
     parser.add_argument('--fast_rng', action='store_true', default=False,
-                        help='use the rbg PRNG for dropout (-18% measured '
-                             'train-step time on TPU; stochastically '
-                             'different dropout stream than threefry)')
+                        help='use the rbg PRNG for dropout key generation '
+                             '(mostly superseded by the default hash '
+                             'dropout impl; kept for reproducing round-2 '
+                             'runs)')
+    parser.add_argument('--dropout_impl', type=str, default='hash',
+                        choices=['hash', 'threefry'],
+                        help='dropout mask generator: "hash" (default, '
+                             'counter-based fmix32 — 1.86x measured TPU '
+                             'train step vs threefry) or "threefry" '
+                             '(jax.random.bernoulli, the round-1 stream '
+                             'for reproducing old training runs)')
     parser.add_argument('--resident_train', action='store_true',
                         default=False,
                         help='HBM-resident training: upload the split once, '
@@ -402,6 +410,8 @@ def build_arg_parser():
 def main(args):
     np.random.seed(1)
     logger = get_logger(args.log_file)
+    from multimodal_transformer_tpu.ops.basic import set_dropout_impl
+    set_dropout_impl(args.dropout_impl)
     if args.fast_rng:
         # rbg generates dropout bits ~an order of magnitude cheaper than
         # threefry on TPU: measured -18% MFT train-step time (27.7 ->
