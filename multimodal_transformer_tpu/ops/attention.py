@@ -148,11 +148,30 @@ def encoder_stack(params, x, mask=None, *, h: int = 8, rng=None,
     # (MFT's emotient D=16) stay on jnp — d_k<8 underfills lanes.
     from .dispatch import pallas_enabled
     if (mask is not None and mask_mode == "key_query"
-            and (rng is None or dropout_p == 0.0)
             and x.shape[-1] % h == 0 and x.shape[-1] >= 128
             and pallas_enabled("encoder")):
-        from .pallas.encoder import encoder_stack_fused_trainable
-        return encoder_stack_fused_trainable(params, x, mask, h)
+        if rng is None or dropout_p == 0.0:
+            from .pallas.encoder import encoder_stack_fused_trainable
+            return encoder_stack_fused_trainable(params, x, mask, h)
+        from .basic import _dropout_impl
+        if _dropout_impl() == "hash" and x.dtype == jnp.float32:
+            # REAL dropout-training path: Pallas forward with in-kernel
+            # fmix32 masks + per-layer fused Pallas backward (no remat) —
+            # same mask bits as this module's jnp path, so it is a drop-in
+            # for the hash dropout stream.  threefry dropout streams keep
+            # the jnp path (their bits are not kernel-regenerable).
+            # Gated on fp32 activations: measured v5e MFT train-step A/B
+            # (examples/bench_train.py, same session) — fp32 kernel 16.3 ms
+            # vs jnp 17.2 ms (kernel wins; both near the fp32 MXU wall),
+            # but bf16/mixed kernel 16.1 ms vs jnp 14.5 ms (jnp wins: the
+            # backward kernel is VPU/issue-bound on per-head dots, so bf16
+            # matmuls speed XLA up and leave the kernel flat).
+            from .pallas.encoder import (dropout_seed_table,
+                                         encoder_stack_fused_train)
+            seeds = dropout_seed_table(rng, len(params["layers"]))
+            y = encoder_stack_fused_train(params["layers"], x, mask, h,
+                                          dropout_p, seeds)
+            return torch_layer_norm(params["norm"], y.astype(x.dtype))
     n = len(params["layers"])
     rngs = jax.random.split(rng, n) if rng is not None else [None] * n
     for layer_params, layer_rng in zip(params["layers"], rngs):

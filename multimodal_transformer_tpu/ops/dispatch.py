@@ -45,6 +45,21 @@ real multi-chip TPU is not reachable from this environment, so on such
 hardware re-validate with the per-kernel overrides and fall back to
 MMTX_PALLAS=0 if a kernel fails to partition.
 
+Training-path state (v5e MFT full train step, B=32 T=160, dropout ON,
+hash impl, same-session A/Bs via examples/bench_train.py):
+  * fp32 activations (the CLI default: fp32 master params promote the
+    batch): fused encoder TRAIN kernels (in-kernel fmix32 dropout forward
+    + per-layer fused backward, ops/pallas/encoder.py) 16.3 ms/step vs
+    jnp 17.2 ms -> kernel dispatches (encoder_stack gates on
+    x.dtype==float32).  Both sit near the fp32 MXU wall (the jnp step is
+    413 GFLOP at ~24 GFLOP/ms ~ 48% of the 49 TFLOP/s fp32 peak).
+  * bf16/mixed activations (--mixed_precision): jnp 14.5 ms vs kernel
+    16.1 ms -> jnp path keeps training.  bf16 matmuls speed XLA up 15%
+    while the kernel barely moves — its backward is VPU/issue-bound
+    (per-head score dots), not MXU-bound.  Mixed precision is therefore
+    the fastest training recipe post-hash-dropout (the earlier "mixed is
+    neutral" verdict was measured when threefry dropout dominated).
+
 Overrides: per-kernel MMTX_PALLAS_ATTN / MMTX_PALLAS_WEMBED /
 MMTX_PALLAS_MFN / MMTX_PALLAS_ENCODER (=0/1) beat the global MMTX_PALLAS
 (=0/1), which beats the

@@ -287,8 +287,21 @@ def encoder_stack_fused(params, x, mask, *, h: int = 8,
 
 
 # ------------------------------------------------------------- training path
-# custom_vjp: Pallas forward, backward rematerialized through the jnp
-# encoder_stack (dropout-free key_query mode), mirroring window_embed.py.
+# Two training entry points:
+#   * encoder_stack_fused_trainable — dropout-free remat custom_vjp (Pallas
+#     forward, backward rematerialized through the jnp encoder_stack), kept
+#     for the rng=None path where it costs nothing at eval;
+#   * encoder_stack_fused_train — the REAL training path (dropout ON):
+#     Pallas forward with IN-KERNEL hash dropout (the counter-based fmix32
+#     masks of ops/basic.py, regenerable from (seed, flat position) alone —
+#     the design reason that impl exists) that also spills each layer's
+#     input activation to HBM, plus a per-layer fused Pallas BACKWARD
+#     kernel that recomputes the layer's internals in VMEM (flash-style),
+#     regenerates the same dropout masks, and accumulates weight grads
+#     across batch tiles via output revisiting.  This replaces the remat
+#     custom_vjp for dropout training: XLA's autodiff of the jnp path
+#     materializes [B,h,T,T] score/softmax/mask tensors three times per
+#     layer in HBM; here they never leave VMEM in either direction.
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def encoder_stack_fused_trainable(params, x, mask, h):
@@ -313,3 +326,617 @@ def _bwd(h, res, g):
 
 
 encoder_stack_fused_trainable.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------- dropout-training path
+# In-kernel hash dropout: the fmix32 keep-mask of ops/basic.py
+# hash_keep_mask, regenerated from (site seed, flat position in the
+# UNPADDED jnp-path tensor).  Mask bits are bit-identical to the jnp
+# hash-dropout path, so forward values and gradients on valid positions
+# match the jnp encoder_stack under MMTX_DROPOUT_IMPL=hash.
+
+def _keep(seed_u32, idx_u32, p: float):
+    """fmix32 Bernoulli(1-p) keep mask — MUST mirror basic.hash_keep_mask."""
+    h = idx_u32 * jnp.uint32(0x9E3779B1) + seed_u32
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    threshold = jnp.uint32(min(int(round(p * 2.0 ** 32)), 2 ** 32 - 1))
+    return h >= threshold
+
+
+def _row_site_idx(tile_i, tile_b: int, T: int, T0: int, width: int):
+    """Flat jnp-tensor positions for a [B, T0, width] dropout site, laid out
+    over this tile's [tile_b*T, width] rows (padded positions get aliased
+    garbage indices — their values are discarded downstream)."""
+    bloc = jax.lax.broadcasted_iota(jnp.int32, (tile_b, T, width), 0)
+    t = jax.lax.broadcasted_iota(jnp.int32, (tile_b, T, width), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (tile_b, T, width), 2)
+    gb = tile_i * tile_b + bloc
+    idx = (gb * T0 + t) * width + c
+    return idx.reshape(tile_b * T, width).astype(jnp.uint32)
+
+
+def _attn_site_idx(gb, h: int, T: int, T0: int):
+    """Flat positions for the [B, h, T0, T0] attention-prob dropout site of
+    one video gb, matching the packed [h*T, T] score layout."""
+    head = jax.lax.broadcasted_iota(jnp.int32, (h, T, T), 0)
+    tq = jax.lax.broadcasted_iota(jnp.int32, (h, T, T), 1)
+    tk = jax.lax.broadcasted_iota(jnp.int32, (h, T, T), 2)
+    idx = ((gb * h + head) * T0 + tq) * T0 + tk
+    return idx.reshape(h * T, T).astype(jnp.uint32)
+
+
+def _drop(x, seed, idx, p: float):
+    """Inverted dropout with the in-kernel mask (identity when p == 0)."""
+    if p == 0.0:
+        return x
+    return jnp.where(_keep(seed, idx, p), x / (1.0 - p), 0.0)
+
+
+def _seed(seeds_ref, l, site: int):
+    return seeds_ref[l, site].astype(jnp.uint32)
+
+
+def _attention_tile(qkv_s, kmask_ref, qmask_ref, *, tile_b, T, D, h,
+                    av_group, inv_sqrt_dk, tile_i=None, T0=None,
+                    seed0=None, dropout_p=0.0, cdt=jnp.bfloat16):
+    """Per-video packed attention over one batch tile (shared fwd helper,
+    optionally with the in-kernel hash dropout on the attention probs).
+
+    Returns the [R, D] concatenated head outputs (fp32)."""
+    d_k = D // h
+    g = av_group
+    outs_rows = []
+    for b in range(tile_b):
+        rows = slice(b * T, (b + 1) * T)
+        qm = qmask_ref[rows, :]
+        km = kmask_ref[0, b:b + 1, :]
+        qkvb = qkv_s[rows, :]
+        parts = []
+        for head in range(h):
+            q = qkvb[:, head * d_k:(head + 1) * d_k]
+            k = qkvb[:, D + head * d_k:D + (head + 1) * d_k]
+            parts.append(jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        s = jnp.concatenate(parts, axis=0) * inv_sqrt_dk
+        qm_t = jnp.concatenate([qm] * h, axis=0)
+        s = jnp.where(qm_t == 0, NEG_INF, s)
+        s = jnp.where(km == 0, NEG_INF, s)
+        p = jax.nn.softmax(s, axis=-1)
+        if dropout_p > 0.0:
+            gb = tile_i * tile_b + b
+            pd = _drop(p, seed0, _attn_site_idx(gb, h, T, T0), dropout_p)
+        else:
+            pd = p
+        pd = pd.astype(cdt)
+        outs = []
+        for grp in range(h // g):
+            pg = pd[grp * g * T:(grp + 1) * g * T, :]
+            vg = qkvb[:, 2 * D + grp * g * d_k:
+                      2 * D + (grp + 1) * g * d_k]
+            O = jnp.dot(pg, vg, preferred_element_type=jnp.float32)
+            outs.extend(O[i * T:(i + 1) * T, i * d_k:(i + 1) * d_k]
+                        for i in range(g))
+        outs_rows.append(jnp.concatenate(outs, axis=1))
+    return jnp.concatenate(outs_rows, axis=0)
+
+
+def _train_kernel(x_ref, kmask_ref, qmask_ref,
+                  ln1a_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                  ln2a_ref, ln2b_ref, wff1_ref, bff1_ref, wff2_ref, bff2_ref,
+                  seeds_ref, out_ref, saved_ref, x_s, qkv_s,
+                  *, tile_b: int, T: int, T0: int, D: int, h: int,
+                  n_layers: int, av_group: int, dropout_p: float, B: int):
+    """Forward with in-kernel hash dropout; spills each layer's input
+    (the fp32 carry) to saved_ref for the backward kernels.  No final
+    norm — the caller applies it in jnp so autodiff owns its params."""
+    del B
+    i, l = pl.program_id(0), pl.program_id(1)
+    R = tile_b * T
+    d_k = D // h
+    cdt = x_ref.dtype
+    inv_sqrt_dk = jnp.float32(1.0) / jnp.sqrt(jnp.float32(d_k))
+
+    @pl.when(l == 0)
+    def _():
+        x_s[:] = x_ref[:].reshape(R, D).astype(jnp.float32)
+
+    saved_ref[:] = x_s[:].reshape(1, tile_b, T, D)
+
+    x = x_s[:]
+    xn = _ln(x, ln1a_ref[0], ln1b_ref[0])
+    qkv = jnp.dot(xn.astype(cdt), wqkv_ref[0],
+                  preferred_element_type=jnp.float32) + bqkv_ref[0]
+    qkv_s[:] = qkv.astype(cdt)
+    attn_c = _attention_tile(
+        qkv_s, kmask_ref, qmask_ref, tile_b=tile_b, T=T, D=D, h=h,
+        av_group=av_group, inv_sqrt_dk=inv_sqrt_dk, tile_i=i, T0=T0,
+        seed0=_seed(seeds_ref, l, 0), dropout_p=dropout_p, cdt=cdt)
+    attn = jnp.dot(attn_c.astype(cdt), wout_ref[0],
+                   preferred_element_type=jnp.float32) + bout_ref[0]
+    idx_d = _row_site_idx(i, tile_b, T, T0, D)
+    x = x + _drop(attn, _seed(seeds_ref, l, 1), idx_d, dropout_p)
+    xn = _ln(x, ln2a_ref[0], ln2b_ref[0])
+    mid = jnp.dot(xn.astype(cdt), wff1_ref[0],
+                  preferred_element_type=jnp.float32) + bff1_ref[0]
+    mid = jnp.maximum(mid, 0.0)
+    F = mid.shape[-1]
+    mid = _drop(mid, _seed(seeds_ref, l, 2),
+                _row_site_idx(i, tile_b, T, T0, F), dropout_p)
+    ff = jnp.dot(mid.astype(cdt), wff2_ref[0],
+                 preferred_element_type=jnp.float32) + bff2_ref[0]
+    x_s[:] = x + _drop(ff, _seed(seeds_ref, l, 3), idx_d, dropout_p)
+
+    @pl.when(l == n_layers - 1)
+    def _():
+        out_ref[:] = x_s[:].reshape(tile_b, T, D)
+
+
+def _ln_bwd(x, a, g, eps: float = 1e-6):
+    """VJP of the quirky LayerNorm.  x, g: [R, D] fp32; a: [1, D].
+
+    Returns (dx, da, db) with da/db summed over rows; var==0 rows (all-pad
+    zeros) are guarded to contribute exact zeros instead of 0/0 NaNs."""
+    n = x.shape[-1]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    d = x - mean
+    var = jnp.sum(d * d, axis=-1, keepdims=True) / (n - 1)
+    s = jnp.sqrt(var)
+    denom = s + eps
+    ga = g * a
+    dd = ga / denom
+    dden = -jnp.sum(ga * d, axis=-1, keepdims=True) / (denom * denom)
+    dvar = jnp.where(var > 0, dden / (2.0 * s), 0.0)
+    dd = dd + d * (2.0 * dvar / (n - 1))
+    dx = dd - jnp.mean(dd, axis=-1, keepdims=True)
+    da = jnp.sum(g * (d / denom), axis=0, keepdims=True)
+    db = jnp.sum(g, axis=0, keepdims=True)
+    return dx, da, db
+
+
+def _bwd_kernel(x_ref, dy_ref, kmask_ref, qmask_ref,
+                ln1a_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                ln2a_ref, ln2b_ref, wff1_ref, bff1_ref, wff2_ref, bff2_ref,
+                seeds_ref,
+                dx_ref, dln1a_ref, dln1b_ref, dwqkv_ref, dbqkv_ref,
+                dwout_ref, dbout_ref, dln2a_ref, dln2b_ref,
+                dwff1_ref, dbff1_ref, dwff2_ref, dbff2_ref,
+                qkv_s, xn1_s, o_s, x1_s, xn2_s, midp_s, dx1_s,
+                *, tile_b: int, T: int, T0: int, D: int, F: int, h: int,
+                av_group: int, dropout_p: float, cdt):
+    """One encoder layer's backward over one batch tile: recompute the
+    forward internals in VMEM from the saved layer input, regenerate the
+    dropout masks, emit dx and accumulate weight grads across tiles."""
+    i = pl.program_id(0)
+    R = tile_b * T
+    d_k = D // h
+    inv_sqrt_dk = jnp.float32(1.0) / jnp.sqrt(jnp.float32(d_k))
+    keep = 1.0 - dropout_p
+
+    @pl.when(i == 0)
+    def _():
+        for ref in (dln1a_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwout_ref,
+                    dbout_ref, dln2a_ref, dln2b_ref, dwff1_ref, dbff1_ref,
+                    dwff2_ref, dbff2_ref):
+            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+    x = x_ref[:].reshape(R, D)
+    dy = dy_ref[:].reshape(R, D)
+    idx_d = _row_site_idx(i, tile_b, T, T0, D)
+    idx_f = _row_site_idx(i, tile_b, T, T0, F)
+
+    # ---- recompute forward through the layer ----
+    xn1 = _ln(x, ln1a_ref[0], ln1b_ref[0])
+    xn1_s[:] = xn1.astype(cdt)
+    qkv = jnp.dot(xn1_s[:], wqkv_ref[0],
+                  preferred_element_type=jnp.float32) + bqkv_ref[0]
+    qkv_s[:] = qkv.astype(cdt)
+    attn_c = _attention_tile(
+        qkv_s, kmask_ref, qmask_ref, tile_b=tile_b, T=T, D=D, h=h,
+        av_group=av_group, inv_sqrt_dk=inv_sqrt_dk, tile_i=i, T0=T0,
+        seed0=_seed(seeds_ref, 0, 0), dropout_p=dropout_p, cdt=cdt)
+    o_s[:] = attn_c.astype(cdt)
+    attn = jnp.dot(o_s[:], wout_ref[0],
+                   preferred_element_type=jnp.float32) + bout_ref[0]
+    x1 = x + _drop(attn, _seed(seeds_ref, 0, 1), idx_d, dropout_p)
+    x1_s[:] = x1
+    xn2 = _ln(x1, ln2a_ref[0], ln2b_ref[0])
+    xn2_s[:] = xn2.astype(cdt)
+    midp = jnp.dot(xn2_s[:], wff1_ref[0],
+                   preferred_element_type=jnp.float32) + bff1_ref[0]
+    midp_s[:] = midp
+
+    # ---- feed-forward sublayer backward ----
+    if dropout_p > 0.0:
+        k3 = _keep(_seed(seeds_ref, 0, 3), idx_d, dropout_p)
+        dff = jnp.where(k3, dy / keep, 0.0)
+    else:
+        dff = dy
+    midp = midp_s[:]
+    mid = jnp.maximum(midp, 0.0)
+    mid_d = _drop(mid, _seed(seeds_ref, 0, 2), idx_f, dropout_p)
+    dwff2_ref[:] += jax.lax.dot_general(
+        mid_d.astype(cdt), dff.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbff2_ref[:] += jnp.sum(dff, axis=0, keepdims=True)
+    dmid = jax.lax.dot_general(          # dff @ W2^T without a relayout
+        dff.astype(cdt), wff2_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if dropout_p > 0.0:
+        k2 = _keep(_seed(seeds_ref, 0, 2), idx_f, dropout_p)
+        dmid = jnp.where(k2, dmid / keep, 0.0)
+    dmidp = jnp.where(midp > 0, dmid, 0.0)
+    dwff1_ref[:] += jax.lax.dot_general(
+        xn2_s[:], dmidp.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbff1_ref[:] += jnp.sum(dmidp, axis=0, keepdims=True)
+    dxn2 = jax.lax.dot_general(
+        dmidp.astype(cdt), wff1_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx1_ln, da2, db2 = _ln_bwd(x1_s[:], ln2a_ref[0], dxn2)
+    dln2a_ref[:] += da2
+    dln2b_ref[:] += db2
+    dx1_s[:] = dy + dx1_ln
+
+    # ---- attention sublayer backward ----
+    if dropout_p > 0.0:
+        k1 = _keep(_seed(seeds_ref, 0, 1), idx_d, dropout_p)
+        dattn = jnp.where(k1, dx1_s[:] / keep, 0.0)
+    else:
+        dattn = dx1_s[:]
+    dwout_ref[:] += jax.lax.dot_general(
+        o_s[:], dattn.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbout_ref[:] += jnp.sum(dattn, axis=0, keepdims=True)
+    do = jax.lax.dot_general(
+        dattn.astype(cdt), wout_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xn2_s[:] = do.astype(cdt)     # xn2 no longer needed: reuse for do
+
+    for b in range(tile_b):
+        rows = slice(b * T, (b + 1) * T)
+        qm = qmask_ref[rows, :]
+        km = kmask_ref[0, b:b + 1, :]
+        qkvb = qkv_s[rows, :]
+        # recompute this video's packed scores/probs (pass 2)
+        parts = []
+        for head in range(h):
+            q = qkvb[:, head * d_k:(head + 1) * d_k]
+            k = qkvb[:, D + head * d_k:D + (head + 1) * d_k]
+            parts.append(jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        s = jnp.concatenate(parts, axis=0) * inv_sqrt_dk
+        qm_t = jnp.concatenate([qm] * h, axis=0)
+        s = jnp.where(qm_t == 0, NEG_INF, s)
+        s = jnp.where(km == 0, NEG_INF, s)
+        p = jax.nn.softmax(s, axis=-1)                     # [h*T, T] fp32
+        gb = i * tile_b + b
+        if dropout_p > 0.0:
+            k0 = _keep(_seed(seeds_ref, 0, 0),
+                       _attn_site_idx(gb, h, T, T0), dropout_p)
+            pd = jnp.where(k0, p / keep, 0.0)
+        else:
+            pd = p
+        dob = xn2_s[rows, :]                               # [T, D] cdt
+        # dpd[head] = do_h @ v_h^T  (packed on sublanes like the fwd)
+        parts = []
+        for head in range(h):
+            doh = dob[:, head * d_k:(head + 1) * d_k]
+            vh = qkvb[:, 2 * D + head * d_k:2 * D + (head + 1) * d_k]
+            parts.append(jax.lax.dot_general(
+                doh, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        dpd = jnp.concatenate(parts, axis=0)               # [h*T, T]
+        # dv[head] = pd_h^T @ do_h
+        pdc = pd.astype(cdt)
+        dvs = []
+        for head in range(h):
+            pdh = pdc[head * T:(head + 1) * T, :]
+            doh = dob[:, head * d_k:(head + 1) * d_k]
+            dvs.append(jax.lax.dot_general(
+                pdh, doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        if dropout_p > 0.0:
+            dp = jnp.where(k0, dpd / keep, 0.0)
+        else:
+            dp = dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsc = (ds * inv_sqrt_dk).astype(cdt)
+        dqs, dks = [], []
+        for head in range(h):
+            dsh = dsc[head * T:(head + 1) * T, :]
+            q = qkvb[:, head * d_k:(head + 1) * d_k]
+            k = qkvb[:, D + head * d_k:D + (head + 1) * d_k]
+            dqs.append(jnp.dot(dsh, k, preferred_element_type=jnp.float32))
+            dks.append(jax.lax.dot_general(
+                dsh, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        dqkv_b = jnp.concatenate(
+            [jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
+             jnp.concatenate(dvs, axis=1)], axis=1)        # [T, 3D] fp32
+        dwqkv_ref[:] += jax.lax.dot_general(
+            xn1_s[rows, :], dqkv_b.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbqkv_ref[:] += jnp.sum(dqkv_b, axis=0, keepdims=True)
+        x1_s[rows, :] = jax.lax.dot_general(
+            dqkv_b.astype(cdt), wqkv_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dx_ln, da1, db1 = _ln_bwd(x, ln1a_ref[0], x1_s[:])
+    dln1a_ref[:] += da1
+    dln1b_ref[:] += db1
+    dx_ref[:] = (dx1_s[:] + dx_ln).reshape(tile_b, T, D)
+
+
+def dropout_seed_table(rng, n_layers: int):
+    """[N, 4] int32 site-seed table replicating the jnp encoder_stack's key
+    chain — split(rng, N) per layer, split(layer_key, 4) per dropout site
+    (attn probs, attn out, ff mid, ff out) — hashed by basic.hash_seed.
+    int32 for SMEM; the kernels bitcast back to uint32."""
+    from ..basic import hash_seed
+    rows = [jnp.stack([hash_seed(k) for k in jax.random.split(lk, 4)])
+            for lk in jax.random.split(rng, n_layers)]
+    return jax.lax.bitcast_convert_type(jnp.stack(rows), jnp.int32)
+
+
+def _pick_tile_b_train(B: int, T: int, D: int, itemsize: int) -> int:
+    # x_s fp32 carry + qkv_s + saved/in/out blocks (double-buffered)
+    per_b = T * D * (4 + 8 + (3 + 4) * itemsize)
+    tb = max(1, min(8, (8 * 1024 * 1024) // per_b))
+    while B % tb and tb > 1:
+        tb -= 1
+    return tb
+
+
+def _prep_padded(x, mask, tile_b):
+    """Shared T/B padding + mask reshapes for the train-path kernels."""
+    B, T0, D = x.shape
+    pad_t = (-T0) % 8
+    T = T0 + pad_t
+    pad_b = (-B) % tile_b
+    Bp = B + pad_b
+    m2 = mask[..., 0].astype(jnp.float32)
+    if pad_t or pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, pad_t), (0, 0)))
+        m2 = jnp.pad(m2, ((0, pad_b), (0, pad_t)))
+    return x, m2, T, Bp
+
+
+def _train_fwd_impl(layers, x, mask, *, h, dropout_p, seeds,
+                    tile_b=None, av_group=None, interpret=None):
+    if interpret is None:
+        interpret = _train_interpret()
+    B, T0, D = x.shape
+    n_layers = len(layers)
+    if tile_b is None:
+        tile_b = _pick_tile_b_train(B, T0, D, x.dtype.itemsize)
+    x_p, m2, T, Bp = _prep_padded(x, mask, tile_b)
+    qmask = m2.reshape(Bp * T, 1)
+    w = _pack_weights({"layers": layers,
+                       "norm": {"a_2": jnp.zeros(D), "b_2": jnp.zeros(D)}},
+                      x.dtype)
+    n_tiles = Bp // tile_b
+    R = tile_b * T
+    d_k = D // h
+    if av_group is None:
+        av_group = max(1, min(h, 128 // d_k))
+    while h % av_group:
+        av_group -= 1
+
+    def wspec(block):
+        return pl.BlockSpec((1,) + block, lambda b, l: (l,) + (0,) * len(block),
+                            memory_space=pltpu.VMEM)
+
+    F = w["wff1"].shape[2]
+    out, saved = pl.pallas_call(
+        functools.partial(_train_kernel, tile_b=tile_b, T=T, T0=T0, D=D,
+                          h=h, n_layers=n_layers, av_group=av_group,
+                          dropout_p=dropout_p, B=B),
+        grid=(n_tiles, n_layers),
+        in_specs=[
+            pl.BlockSpec((tile_b, T, D), lambda b, l: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b, T), lambda b, l: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda b, l: (b, 0),
+                         memory_space=pltpu.VMEM),
+            wspec((1, D)), wspec((1, D)),
+            wspec((D, 3 * D)), wspec((1, 3 * D)),
+            wspec((D, D)), wspec((1, D)),
+            wspec((1, D)), wspec((1, D)),
+            wspec((D, F)), wspec((1, F)),
+            wspec((F, D)), wspec((1, D)),
+            pl.BlockSpec((n_layers, 4), lambda b, l: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, T, D), lambda b, l: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b, T, D), lambda b, l: (l, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, Bp, T, D), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, D), jnp.float32),
+            pltpu.VMEM((R, 3 * D), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(x_p, m2.reshape(n_tiles, tile_b, T), qmask,
+      w["ln1a"], w["ln1b"], w["wqkv"], w["bqkv"], w["wout"], w["bout"],
+      w["ln2a"], w["ln2b"], w["wff1"], w["bff1"], w["wff2"], w["bff2"],
+      seeds)
+    return out[:B, :T0, :], saved
+
+
+def _pick_tile_b_bwd(B: int, T: int, D: int, F: int, itemsize: int) -> int:
+    # scratches (qkv/xn1/o/xn2 cdt; x1/dx1 + midp fp32) + x/dy/dx blocks
+    per_b = T * (D * ((3 + 1 + 1 + 1) * itemsize + 2 * 4 + 3 * 4 * 2)
+                 + F * 4)
+    tb = max(1, min(8, (7 * 1024 * 1024) // per_b))
+    while B % tb and tb > 1:
+        tb -= 1
+    return tb
+
+
+def _layer_bwd_call(wl, seeds_row, x_l, dy, m2, *, h, dropout_p, T0, B,
+                    cdt, av_group, interpret=False, tile_b=None):
+    """Run the fused backward for ONE layer over all batch tiles.
+
+    x_l, dy: [Bp, T, D] fp32 (padded); m2: [Bp, T] fp32.  Returns
+    (dx [Bp, T, D] fp32, tuple of packed weight grads)."""
+    Bp, T, D = x_l.shape
+    F = wl["wff1"].shape[2]
+    if tile_b is None:
+        tile_b = _pick_tile_b_bwd(Bp, T, D, F, jnp.dtype(cdt).itemsize)
+    n_tiles = Bp // tile_b
+    R = tile_b * T
+    qmask = m2.reshape(Bp * T, 1)
+
+    def wspec(block):
+        return pl.BlockSpec((1,) + block, lambda i: (0,) + (0,) * len(block),
+                            memory_space=pltpu.VMEM)
+
+    def gspec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, tile_b=tile_b, T=T, T0=T0, D=D, F=F,
+                          h=h, av_group=av_group, dropout_p=dropout_p,
+                          cdt=cdt),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_b, T, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, T, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b, T), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            wspec((1, D)), wspec((1, D)),
+            wspec((D, 3 * D)), wspec((1, 3 * D)),
+            wspec((D, D)), wspec((1, D)),
+            wspec((1, D)), wspec((1, D)),
+            wspec((D, F)), wspec((1, F)),
+            wspec((F, D)), wspec((1, D)),
+            pl.BlockSpec((1, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, T, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            gspec((1, D)), gspec((1, D)),                  # dln1 a/b
+            gspec((D, 3 * D)), gspec((1, 3 * D)),          # dqkv
+            gspec((D, D)), gspec((1, D)),                  # dout proj
+            gspec((1, D)), gspec((1, D)),                  # dln2 a/b
+            gspec((D, F)), gspec((1, F)),                  # dff1
+            gspec((F, D)), gspec((1, D)),                  # dff2
+        ],
+        out_shape=[jax.ShapeDtypeStruct((Bp, T, D), jnp.float32)] + [
+            jax.ShapeDtypeStruct(s, jnp.float32) for s in
+            [(1, D), (1, D), (D, 3 * D), (1, 3 * D), (D, D), (1, D),
+             (1, D), (1, D), (D, F), (1, F), (F, D), (1, D)]],
+        scratch_shapes=[
+            pltpu.VMEM((R, 3 * D), cdt),    # qkv
+            pltpu.VMEM((R, D), cdt),        # xn1
+            pltpu.VMEM((R, D), cdt),        # o (attn pre-out-proj)
+            pltpu.VMEM((R, D), jnp.float32),  # x1, reused for d_xn1
+            pltpu.VMEM((R, D), cdt),        # xn2, reused for d_o
+            pltpu.VMEM((R, F), jnp.float32),  # ff mid pre-relu
+            pltpu.VMEM((R, D), jnp.float32),  # dx1
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x_l, dy, m2.reshape(n_tiles, tile_b, T), qmask,
+      wl["ln1a"], wl["ln1b"], wl["wqkv"], wl["bqkv"], wl["wout"],
+      wl["bout"], wl["ln2a"], wl["ln2b"], wl["wff1"], wl["bff1"],
+      wl["wff2"], wl["bff2"], seeds_row)
+    return outs[0], tuple(outs[1:])
+
+
+def _unpack_layer_grads(gl, D):
+    (dln1a, dln1b, dwqkv, dbqkv, dwout, dbout, dln2a, dln2b,
+     dwff1, dbff1, dwff2, dbff2) = gl
+
+    def lin(w, b):
+        return {"weight": w.T, "bias": b[0]}   # packed [in,out] -> torch
+
+    return {
+        "self_attn": {"linears": [
+            lin(dwqkv[:, :D], dbqkv[:, :D]),
+            lin(dwqkv[:, D:2 * D], dbqkv[:, D:2 * D]),
+            lin(dwqkv[:, 2 * D:], dbqkv[:, 2 * D:]),
+            lin(dwout, dbout),
+        ]},
+        "feed_forward": {"w_1": lin(dwff1, dbff1), "w_2": lin(dwff2, dbff2)},
+        "sublayer": [{"norm": {"a_2": dln1a[0], "b_2": dln1b[0]}},
+                     {"norm": {"a_2": dln2a[0], "b_2": dln2b[0]}}],
+    }
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def encoder_stack_fused_train(layers, x, mask, h, dropout_p, seeds):
+    """Training-path fused encoder stack WITHOUT the final norm (the caller
+    applies torch_layer_norm in jnp so autodiff owns its params).
+
+    Forward runs the Pallas stack with in-kernel hash dropout; backward
+    runs the per-layer fused Pallas backward kernels.  Matches the jnp
+    encoder_stack under MMTX_DROPOUT_IMPL=hash on valid positions (same
+    fmix32 mask bits; see tests/test_pallas_kernels.py)."""
+    out, _ = _train_fwd_impl(layers, x, mask, h=h, dropout_p=dropout_p,
+                             seeds=seeds)
+    return out
+
+
+def _train_fwd_rule(layers, x, mask, h, dropout_p, seeds):
+    out, saved = _train_fwd_impl(layers, x, mask, h=h, dropout_p=dropout_p,
+                                 seeds=seeds)
+    return out, (layers, x, mask, seeds, saved)
+
+
+def _train_bwd_rule(h, dropout_p, res, g):
+    import numpy as np
+    layers, x, mask, seeds, saved = res
+    B, T0, D = x.shape
+    n_layers, Bp, T, _ = saved.shape
+    w = _pack_weights({"layers": layers,
+                       "norm": {"a_2": jnp.zeros(D), "b_2": jnp.zeros(D)}},
+                      x.dtype)
+    m2 = mask[..., 0].astype(jnp.float32)
+    m2 = jnp.pad(m2, ((0, Bp - B), (0, T - T0)))
+    d_k = D // h
+    av_group = max(1, min(h, 128 // d_k))
+    while h % av_group:
+        av_group -= 1
+    dy = jnp.pad(g.astype(jnp.float32), ((0, Bp - B), (0, T - T0), (0, 0)))
+    grads = [None] * n_layers
+    for l in reversed(range(n_layers)):
+        wl = {k: v[l:l + 1] for k, v in w.items() if k != "fnorm"}
+        dy, gl = _layer_bwd_call(
+            wl, seeds[l:l + 1], saved[l], dy, m2, h=h, dropout_p=dropout_p,
+            T0=T0, B=B, cdt=x.dtype, av_group=av_group,
+            interpret=_train_interpret())
+        grads[l] = _unpack_layer_grads(gl, D)
+    dx = dy[:B, :T0, :].astype(x.dtype)
+    return (grads, dx, jnp.zeros_like(mask),
+            np.zeros(seeds.shape, dtype=jax.dtypes.float0))
+
+
+encoder_stack_fused_train.defvjp(_train_fwd_rule, _train_bwd_rule)
+
+
+def _train_interpret() -> bool:
+    """The train path runs in interpret mode off-TPU (CPU tests)."""
+    return jax.default_backend() not in ("tpu", "axon")

@@ -449,3 +449,117 @@ def test_mfn_kernel_dispatch_grad_parity(monkeypatch):
                                 jax.tree_util.tree_leaves_with_path(want)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=1e-5, err_msg=str(ka))
+
+
+# ------------------------------- fused encoder training path (dropout ON)
+# The in-kernel hash dropout regenerates the fmix32 masks of
+# ops/basic.py from (site seed, flat position), so the kernel path is
+# bit-identical in mask bits to the jnp path under MMTX_DROPOUT_IMPL=hash.
+# Grad parity uses a LINEAR loss with a random masked cotangent: a
+# quadratic loss of the *normalized* output has near-zero true gradients
+# (pre-norm + final-LN cancellation), so fp32 noise dominates any
+# rel-comparison there — a measurement artifact, not a kernel property.
+
+
+@pytest.fixture
+def _hash_dropout():
+    from multimodal_transformer_tpu.ops import basic
+    basic.set_dropout_impl("hash")
+    yield
+    basic.set_dropout_impl(None)
+
+
+
+
+def test_encoder_train_kernel_fwd_matches_jnp_hash_dropout(_hash_dropout):
+    from multimodal_transformer_tpu.ops.attention import encoder_stack
+    from multimodal_transformer_tpu.ops.norm import torch_layer_norm
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        dropout_seed_table, encoder_stack_fused_train)
+
+    h = 8
+    params, x, mask, mask_np = _enc_setup(11, 5, 37, 64, 3, h)
+    rng = jax.random.PRNGKey(42)
+    want = encoder_stack(params, x, mask, h=h, rng=rng, dropout_p=0.3,
+                         mask_mode="key_query")
+    seeds = dropout_seed_table(rng, 3)
+    y = encoder_stack_fused_train(params["layers"], x, mask, h, 0.3, seeds)
+    got = torch_layer_norm(params["norm"], y.astype(x.dtype))
+    valid = mask_np[..., 0] == 1
+    np.testing.assert_allclose(np.asarray(got)[valid],
+                               np.asarray(want)[valid], rtol=1e-4,
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("dropout_p", [0.0, 0.3])
+def test_encoder_train_kernel_grad_parity(_hash_dropout, dropout_p):
+    """Per-layer fused Pallas backward vs jnp autodiff, dropout ON/off."""
+    from multimodal_transformer_tpu.ops.attention import encoder_stack
+    from multimodal_transformer_tpu.ops.norm import torch_layer_norm
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        dropout_seed_table, encoder_stack_fused_train)
+
+    h = 8
+    params, x, mask, mask_np = _enc_setup(13, 5, 21, 64, 2, h)
+    rng = jax.random.PRNGKey(5)
+    g = jnp.asarray(np.random.RandomState(3).randn(*x.shape)
+                    .astype(np.float32)) * mask
+
+    def loss_jnp(p, xx):
+        y = encoder_stack(p, xx, mask, h=h, rng=rng, dropout_p=dropout_p,
+                          mask_mode="key_query")
+        return jnp.sum(y * g)
+
+    def loss_ker(p, xx):
+        seeds = dropout_seed_table(rng, len(p["layers"]))
+        y = encoder_stack_fused_train(p["layers"], xx, mask, h, dropout_p,
+                                      seeds)
+        return jnp.sum(torch_layer_norm(p["norm"], y.astype(xx.dtype)) * g)
+
+    want = jax.grad(loss_jnp, argnums=(0, 1))(params, x)
+    got = jax.grad(loss_ker, argnums=(0, 1))(params, x)
+    for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(got),
+                                jax.tree_util.tree_leaves_with_path(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-4, err_msg=str(ka))
+
+
+def test_encoder_train_dispatch_hash_only(_hash_dropout, monkeypatch):
+    """encoder_stack dispatches the dropout-training kernel only for the
+    hash dropout impl; threefry streams keep the jnp path.  The dispatched
+    path must match the jnp path (same mask bits)."""
+    import multimodal_transformer_tpu.ops.dispatch as dispatch
+    import multimodal_transformer_tpu.ops.pallas.encoder as penc
+    from multimodal_transformer_tpu.ops import basic
+    from multimodal_transformer_tpu.ops.attention import encoder_stack
+
+    h = 8
+    params, x, mask, mask_np = _enc_setup(17, 4, 13, 128, 2, h)
+    rng = jax.random.PRNGKey(9)
+
+    calls = []
+    orig = penc.encoder_stack_fused_train
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(penc, "encoder_stack_fused_train", spy)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
+    got = encoder_stack(params, x, mask, h=h, rng=rng, dropout_p=0.1,
+                        mask_mode="key_query")
+    assert calls, "hash dropout training should dispatch the fused kernel"
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
+    want = encoder_stack(params, x, mask, h=h, rng=rng, dropout_p=0.1,
+                         mask_mode="key_query")
+    valid = mask_np[..., 0] == 1
+    np.testing.assert_allclose(np.asarray(got)[valid],
+                               np.asarray(want)[valid], rtol=1e-4,
+                               atol=2e-5)
+
+    calls.clear()
+    basic.set_dropout_impl("threefry")
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
+    encoder_stack(params, x, mask, h=h, rng=rng, dropout_p=0.1,
+                  mask_mode="key_query")
+    assert not calls, "threefry dropout must NOT dispatch the fused kernel"
