@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.torch_init import linear_init, lstm_init
-from .basic import linear, dropout
+from .basic import _dropout_impl, dropout, hash_keep_mask, hash_seed, linear
 
 HIDDEN_DIM = {"linguistic": 88, "emotient": 16, "acoustic": 48, "image": 88}
 MEM_DIM = 128
@@ -75,6 +75,20 @@ def mfn_init(key, mods, dims, output_dim: int):
 def _sig_mlp(p1, p2, x, rng, p_drop):
     h = jax.nn.relu(linear(p1, x))
     h = dropout(h, rng, p_drop)
+    return jax.nn.sigmoid(linear(p2, h))
+
+
+def _drop_seeded(x, seed, p_drop: float):
+    """Inverted hash dropout from a precomputed fmix32 seed (the hoisted
+    form of basic.dropout's hash path — same mask bits for the same key)."""
+    idx = jnp.arange(x.size, dtype=jnp.uint32).reshape(x.shape)
+    keep = hash_keep_mask(seed, idx, p_drop)
+    return jnp.where(keep, x / (1.0 - p_drop), 0.0)
+
+
+def _sig_mlp_seeded(p1, p2, x, seed, p_drop: float):
+    h = jax.nn.relu(linear(p1, x))
+    h = _drop_seeded(h, seed, p_drop)
     return jax.nn.sigmoid(linear(p2, h))
 
 
@@ -130,17 +144,34 @@ def _mfn_states_scan(params, inputs, mods, *, rng=None):
     c0 = {m: jnp.zeros((B, HIDDEN_DIM[m]), dtype) for m in mods}
     mem0 = jnp.zeros((B, MEM_DIM), dtype)
 
+    # Per-step dropout randomness, HOISTED off the recurrence's critical
+    # path: the reference stream is split(rng, T) -> per step
+    # split(step_rng) -> (r1, r2).  Doing the inner split inside the scan
+    # body puts 160 sequential threefry evaluations on the serial chain;
+    # vmapping the identical split outside produces bit-identical keys as
+    # one batched op.  For the hash dropout impl the keys are further
+    # collapsed to their fmix32 seeds (what basic.dropout's hash path
+    # computes from each key), so the body carries two uint32 scalars per
+    # step and zero threefry work.
+    hoist_hash = rng is not None and _dropout_impl() == "hash"
     if rng is not None:
         step_rngs = jax.random.split(rng, T)
+        sub = jax.vmap(lambda k: jax.random.split(k, 2))(step_rngs)
+        if hoist_hash:
+            step_xs = jax.vmap(
+                lambda ks: jnp.stack([hash_seed(ks[0]), hash_seed(ks[1])])
+            )(sub)                                     # [T, 2] uint32
+        else:
+            step_xs = sub                              # [T, 2, key]
     else:
-        step_rngs = jnp.zeros((T, 2), dtype=jnp.uint32)  # unused placeholder
+        step_xs = jnp.zeros((T, 2), dtype=jnp.uint32)  # unused placeholder
 
     def body(carry, xs):
         h, c, mem = carry
-        xp, step_rng = xs
+        xp, step_x = xs
         r1 = r2 = None
-        if rng is not None:
-            r1, r2 = jax.random.split(step_rng)
+        if rng is not None and not hoist_hash:
+            r1, r2 = step_x[0], step_x[1]
         prev_cs = jnp.concatenate([c[m] for m in mods], axis=1)
         new_h, new_c = {}, {}
         for m in mods:
@@ -163,18 +194,44 @@ def _mfn_states_scan(params, inputs, mods, *, rng=None):
         c_hat = jnp.tanh(linear(params["att2_fc2"],
                                 jax.nn.relu(linear(params["att2_fc1"], attended))))
         both = jnp.concatenate([attended, mem], axis=1)
-        gamma1 = _sig_mlp(params["gamma1_fc1"], params["gamma1_fc2"], both,
-                          r1, DROPOUTS["gamma1"] if rng is not None else 0.0)
-        gamma2 = _sig_mlp(params["gamma2_fc1"], params["gamma2_fc2"], both,
-                          r2, DROPOUTS["gamma2"] if rng is not None else 0.0)
+        if hoist_hash:
+            gamma1 = _sig_mlp_seeded(params["gamma1_fc1"],
+                                     params["gamma1_fc2"], both,
+                                     step_x[0], DROPOUTS["gamma1"])
+            gamma2 = _sig_mlp_seeded(params["gamma2_fc1"],
+                                     params["gamma2_fc2"], both,
+                                     step_x[1], DROPOUTS["gamma2"])
+        else:
+            gamma1 = _sig_mlp(params["gamma1_fc1"], params["gamma1_fc2"],
+                              both, r1,
+                              DROPOUTS["gamma1"] if rng is not None else 0.0)
+            gamma2 = _sig_mlp(params["gamma2_fc1"], params["gamma2_fc2"],
+                              both, r2,
+                              DROPOUTS["gamma2"] if rng is not None else 0.0)
         mem = gamma1 * mem + gamma2 * c_hat
         hs_out = jnp.concatenate([new_h[m] for m in mods], axis=1)
         return (new_h, new_c, mem), (hs_out, mem)
 
     (_, _, _), (all_hs, all_mems) = jax.lax.scan(
         body, (h0, c0, mem0),
-        ({m: x_projs[m] for m in mods}, step_rngs))
+        ({m: x_projs[m] for m in mods}, step_xs),
+        unroll=_scan_unroll())
     return all_hs, all_mems
+
+
+def _scan_unroll() -> int:
+    """lax.scan unroll factor for the MFN recurrence (MMTX_MFN_UNROLL).
+
+    Measured verdict (v5e, bench_train.py, same-session A/B): unroll=2
+    LOSES on the training step (16.9 vs 15.9 ms/step) and unroll=4 blows
+    the XLA compile past 10 minutes — cross-step fusion does not pay for
+    the bigger transpose graph.  Default stays 1; the knob remains for
+    re-testing on other shapes/hardware."""
+    import os
+    try:
+        return max(1, int(os.environ.get("MMTX_MFN_UNROLL", "1")))
+    except ValueError:
+        return 1
 
 
 # Differentiable wrapper over the Pallas full-recurrence kernel: kernel
