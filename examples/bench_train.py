@@ -20,6 +20,7 @@ Usage: python examples/bench_train.py [--fp32] [--batch 32]
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -84,7 +85,12 @@ def main():
     if not args.fp32:
         data = {m: v.astype(jnp.bfloat16) for m, v in data.items()}
 
-    def one_step(carry, key):
+    # data/target/mask are jit ARGUMENTS, not closure captures: captured
+    # concrete arrays get inlined as stablehlo.constants — at B=32 fp32
+    # that is ~290 MB of constants in the program, which blows the remote
+    # tunnel's compile-upload limit (HTTP 413) and bloats every compile.
+    def one_step(dtm, carry, key):
+        data, target, mask, denom = dtm
         params, opt_state = carry
         def loss_fn(p):
             if args.mixed:
@@ -100,18 +106,21 @@ def main():
                                         weight_decay=1e-4)
         return (params, opt_state), loss
 
+    dtm = (data, target, mask, denom)
+
     def make(n):
-        def prog(params, opt_state, key):
+        def prog(params, opt_state, key, dtm):
             keys = jax.random.split(key, n)
             (params, opt_state), losses = lax.scan(
-                one_step, (params, opt_state), keys)
+                functools.partial(one_step, dtm), (params, opt_state), keys)
             return params, opt_state, losses[-1]
         return jax.jit(prog, donate_argnums=(0, 1))
 
     # FLOP count of ONE step (scan body counted once by XLA cost analysis)
     flops = None
     try:
-        c = make(1).lower(params, opt_state, jax.random.PRNGKey(0)).compile()
+        c = make(1).lower(params, opt_state, jax.random.PRNGKey(0),
+                          dtm).compile()
         ca = c.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
@@ -124,16 +133,16 @@ def main():
     times = {}
     state = (params, opt_state)
     for n in (n1, n2):
-        prog = make(n).lower(*state, jax.random.PRNGKey(0)).compile()
+        prog = make(n).lower(*state, jax.random.PRNGKey(0), dtm).compile()
         # warmup; donation is fine — each run threads the returned state
         # into the next call, so no stale buffers are ever reused
-        p2, o2, loss = prog(*state, jax.random.PRNGKey(0))
+        p2, o2, loss = prog(*state, jax.random.PRNGKey(0), dtm)
         np.asarray(loss)
         state = (p2, o2)
         best = float("inf")
         for r in range(3):
             t0 = time.perf_counter()
-            p2, o2, loss = prog(*state, jax.random.PRNGKey(r + 1))
+            p2, o2, loss = prog(*state, jax.random.PRNGKey(r + 1), dtm)
             np.asarray(loss)
             best = min(best, time.perf_counter() - t0)
             state = (p2, o2)

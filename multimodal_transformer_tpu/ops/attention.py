@@ -30,6 +30,8 @@ configs, on both eval and (dropout-free) training via its remat custom_vjp.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -154,18 +156,21 @@ def encoder_stack(params, x, mask=None, *, h: int = 8, rng=None,
             from .pallas.encoder import encoder_stack_fused_trainable
             return encoder_stack_fused_trainable(params, x, mask, h)
         from .basic import _dropout_impl
-        if _dropout_impl() == "hash" and x.dtype == jnp.float32:
+        _bf16_force = os.environ.get("MMTX_ENC_TRAIN_BF16")  # A/B override
+        _dtype_ok = (x.dtype == jnp.float32 if _bf16_force is None
+                     else _bf16_force == "1")
+        if _dropout_impl() == "hash" and _dtype_ok:
             # REAL dropout-training path: Pallas forward with in-kernel
             # fmix32 masks + per-layer fused Pallas backward (no remat) —
             # same mask bits as this module's jnp path, so it is a drop-in
             # for the hash dropout stream.  threefry dropout streams keep
             # the jnp path (their bits are not kernel-regenerable).
             # Gated on fp32 activations: measured v5e MFT train-step A/B
-            # (examples/bench_train.py, same session) — fp32 kernel 16.3 ms
-            # vs jnp 17.2 ms (kernel wins; both near the fp32 MXU wall),
-            # but bf16/mixed kernel 16.1 ms vs jnp 14.5 ms (jnp wins: the
-            # backward kernel is VPU/issue-bound on per-head dots, so bf16
-            # matmuls speed XLA up and leave the kernel flat).
+            # (examples/bench_train.py, same session) — fp32 kernel 15.1 ms
+            # vs jnp 17.6 ms (kernel wins; jnp is near the fp32 MXU wall),
+            # but bf16/mixed kernel 14.7 ms vs jnp 14.2 ms (jnp wins: the
+            # backward kernel is VPU/issue-bound on softmax + grouped
+            # score dots, so bf16 matmuls speed XLA up more).
             from .pallas.encoder import (dropout_seed_table,
                                          encoder_stack_fused_train)
             seeds = dropout_seed_table(rng, len(params["layers"]))

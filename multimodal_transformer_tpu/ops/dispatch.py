@@ -49,16 +49,17 @@ Training-path state (v5e MFT full train step, B=32 T=160, dropout ON,
 hash impl, same-session A/Bs via examples/bench_train.py):
   * fp32 activations (the CLI default: fp32 master params promote the
     batch): fused encoder TRAIN kernels (in-kernel fmix32 dropout forward
-    + per-layer fused backward, ops/pallas/encoder.py) 16.3 ms/step vs
-    jnp 17.2 ms -> kernel dispatches (encoder_stack gates on
-    x.dtype==float32).  Both sit near the fp32 MXU wall (the jnp step is
-    413 GFLOP at ~24 GFLOP/ms ~ 48% of the 49 TFLOP/s fp32 peak).
-  * bf16/mixed activations (--mixed_precision): jnp 14.5 ms vs kernel
-    16.1 ms -> jnp path keeps training.  bf16 matmuls speed XLA up 15%
-    while the kernel barely moves — its backward is VPU/issue-bound
-    (per-head score dots), not MXU-bound.  Mixed precision is therefore
-    the fastest training recipe post-hash-dropout (the earlier "mixed is
-    neutral" verdict was measured when threefry dropout dominated).
+    + per-layer fused backward with block-diagonal head-grouped attention
+    dots, ops/pallas/encoder.py) 15.1 ms/step vs jnp 17.6 ms -> kernel
+    dispatches (encoder_stack gates on x.dtype==float32).  The jnp step
+    sits near the fp32 MXU wall (413 GFLOP at ~23 GFLOP/ms ~ 48% of the
+    49 TFLOP/s fp32 peak).
+  * bf16/mixed activations (--mixed_precision): jnp 14.2 ms vs kernel
+    14.7 ms -> jnp path keeps training.  bf16 matmuls speed XLA up ~19%
+    while the kernel moves less — its backward is VPU/issue-bound
+    (softmax + per-group score dots), not MXU-bound.  Mixed precision is
+    therefore the fastest training recipe post-hash-dropout (the earlier
+    "mixed is neutral" verdict was measured when threefry dominated).
 
 Overrides: per-kernel MMTX_PALLAS_ATTN / MMTX_PALLAS_WEMBED /
 MMTX_PALLAS_MFN / MMTX_PALLAS_ENCODER (=0/1) beat the global MMTX_PALLAS

@@ -55,7 +55,7 @@ def _ln(x, a, b, eps=1e-6):
     return a * d / (jnp.sqrt(var) + eps) + b
 
 
-def _kernel(x_ref, kmask_ref, qmask_ref,
+def _kernel(x_ref, kmask_ref,
             ln1a_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
             ln2a_ref, ln2b_ref, wff1_ref, bff1_ref, wff2_ref, bff2_ref,
             fnorm_ref, out_ref, x_s, qkv_s, attn_s,
@@ -76,51 +76,13 @@ def _kernel(x_ref, kmask_ref, qmask_ref,
     xn = _ln(x, ln1a_ref[0], ln1b_ref[0])
     qkv = jnp.dot(xn.astype(cdt), wqkv_ref[0],
                   preferred_element_type=jnp.float32) + bqkv_ref[0]
-    qkv_s[:] = qkv.astype(cdt)
-    # Attention, one video at a time, with all h heads PACKED along the
-    # sublane axis.  Measured on v5e (B=32, T=160, D=256, bf16, slope
-    # timing, same-process ranking): packed ~1.5-2x faster than the
-    # per-(video,head) loop — issue a few big MXU ops + 1 softmax per
-    # video instead of 8 tiny lane-sliced ones per head.  The p@v
-    # head-group size matters: av_group=8 (every head against every
-    # head's v) leaves the stack at micro-PARITY with XLA and +12% e2e;
-    # av_group=4 (full 128 output lanes at half the over-compute) is the
-    # sweet spot at d_k=32 — +27-31% e2e over the XLA encoder path
-    # (ops/dispatch.py table).
-    for b in range(tile_b):
-        rows = slice(b * T, (b + 1) * T)
-        qm = qmask_ref[rows, :]                     # [T, 1]
-        km = kmask_ref[0, b:b + 1, :]               # [1, T]
-        qkvb = qkv_s[rows, :]
-        # scores for all h heads stacked on sublanes -> ONE mask+softmax
-        parts = []
-        for head in range(h):
-            q = qkvb[:, head * d_k:(head + 1) * d_k]
-            k = qkvb[:, D + head * d_k:D + (head + 1) * d_k]
-            parts.append(jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        s = jnp.concatenate(parts, axis=0) * inv_sqrt_dk   # [h*T, T]
-        qm_t = jnp.concatenate([qm] * h, axis=0)           # [h*T, 1]
-        s = jnp.where(qm_t == 0, NEG_INF, s)    # reference query quirk
-        s = jnp.where(km == 0, NEG_INF, s)      # clean key masking
-        p = jax.nn.softmax(s, axis=-1).astype(cdt)
-        # p @ v packed in head-GROUPS of g: one [g*T, T] @ [T, g*d_k] dot
-        # computes a g-head group's p against its g heads' v; the g
-        # diagonal blocks are the wanted outputs.  g x the FLOPs of
-        # per-head dots, but g*d_k output lanes (g=4, d_k=32 -> full 128
-        # lanes) and h/g issues instead of h.
-        g = av_group
-        outs = []
-        for grp in range(h // g):
-            pg = p[grp * g * T:(grp + 1) * g * T, :]         # [g*T, T]
-            vg = qkvb[:, 2 * D + grp * g * d_k:
-                      2 * D + (grp + 1) * g * d_k]           # [T, g*d_k]
-            O = jnp.dot(pg, vg,
-                        preferred_element_type=jnp.float32)  # [g*T, g*d_k]
-            outs.extend(O[i * T:(i + 1) * T, i * d_k:(i + 1) * d_k]
-                        for i in range(g))
-        attn_s[rows, :] = jnp.concatenate(outs, axis=1).astype(cdt)
+    # Pre-scale q by 1/sqrt(d_k) here (one [R, D] pass) instead of scaling
+    # the [h*T, T] scores every video (h*T*T >> R*D/tile_b of VPU work).
+    qkv_s[:, :D] = (qkv[:, :D] * inv_sqrt_dk).astype(cdt)
+    qkv_s[:, D:] = qkv[:, D:].astype(cdt)
+    attn_s[:] = _attention_tile(
+        qkv_s, kmask_ref, tile_b=tile_b, T=T, D=D, h=h, av_group=av_group,
+        inv_sqrt_dk=inv_sqrt_dk, cdt=cdt, prescaled_q=True).astype(cdt)
     attn = jnp.dot(attn_s[:], wout_ref[0],
                    preferred_element_type=jnp.float32) + bout_ref[0]
     x = x + attn
@@ -221,7 +183,6 @@ def encoder_stack_fused(params, x, mask, *, h: int = 8,
     if pad_t or pad_b:
         x = jnp.pad(x, ((0, pad_b), (0, pad_t), (0, 0)))
         m2 = jnp.pad(m2, ((0, pad_b), (0, pad_t)))
-    qmask = m2.reshape(Bp * T, 1)
     w = _pack_weights(params, x.dtype)
     n_tiles = Bp // tile_b
 
@@ -248,8 +209,6 @@ def encoder_stack_fused(params, x, mask, *, h: int = 8,
             pl.BlockSpec((tile_b, T, D), lambda b, l: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_b, T), lambda b, l: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda b, l: (b, 0),
                          memory_space=pltpu.VMEM),
             wspec((1, D)), wspec((1, D)),                 # ln1 a/b
             wspec((D, 3 * D)), wspec((1, 3 * D)),         # qkv
@@ -279,7 +238,7 @@ def encoder_stack_fused(params, x, mask, *, h: int = 8,
             transcendentals=n_layers * Bp * T * T,
         ),
         interpret=interpret,
-    )(x, m2.reshape(n_tiles, tile_b, T), qmask,
+    )(x, m2.reshape(n_tiles, tile_b, T),
       w["ln1a"], w["ln1b"], w["wqkv"], w["bqkv"], w["wout"], w["bout"],
       w["ln2a"], w["ln2b"], w["wff1"], w["bff1"], w["wff2"], w["bff2"],
       w["fnorm"])
@@ -359,14 +318,17 @@ def _row_site_idx(tile_i, tile_b: int, T: int, T0: int, width: int):
     return idx.reshape(tile_b * T, width).astype(jnp.uint32)
 
 
-def _attn_site_idx(gb, h: int, T: int, T0: int):
+def _attn_site_idx(gb, h: int, T: int, T0: int, head0: int = 0,
+                   nh: int | None = None):
     """Flat positions for the [B, h, T0, T0] attention-prob dropout site of
-    one video gb, matching the packed [h*T, T] score layout."""
-    head = jax.lax.broadcasted_iota(jnp.int32, (h, T, T), 0)
-    tq = jax.lax.broadcasted_iota(jnp.int32, (h, T, T), 1)
-    tk = jax.lax.broadcasted_iota(jnp.int32, (h, T, T), 2)
+    one video gb, for heads [head0, head0+nh) in the packed [nh*T, T]
+    score-group layout."""
+    nh = h if nh is None else nh
+    head = head0 + jax.lax.broadcasted_iota(jnp.int32, (nh, T, T), 0)
+    tq = jax.lax.broadcasted_iota(jnp.int32, (nh, T, T), 1)
+    tk = jax.lax.broadcasted_iota(jnp.int32, (nh, T, T), 2)
     idx = ((gb * h + head) * T0 + tq) * T0 + tk
-    return idx.reshape(h * T, T).astype(jnp.uint32)
+    return idx.reshape(nh * T, T).astype(jnp.uint32)
 
 
 def _drop(x, seed, idx, p: float):
@@ -380,11 +342,46 @@ def _seed(seeds_ref, l, site: int):
     return seeds_ref[l, site].astype(jnp.uint32)
 
 
-def _attention_tile(qkv_s, kmask_ref, qmask_ref, *, tile_b, T, D, h,
+def _blockdiag_stack(slab, g: int, T: int, d_k: int):
+    """[T, g*d_k] head-group slab -> [g*T, g*d_k] BLOCK-DIAGONAL stack:
+    head j's d_k lanes land in row-block j / lane-block j, zeros elsewhere.
+
+    One full-contraction dot of the stack against the group's counterpart
+    slab then computes all g heads' [T, T] products directly in the packed
+    row layout (the zero blocks annihilate cross-head terms exactly): at
+    d_k=32, g=4 that is 2x fewer MXU passes than g per-head k=32 dots
+    (which waste 3/4 of the MXU's 128 contraction rows) and deletes the
+    g-way concat.  The build itself is VPU work over [g*T, g*d_k] — a net
+    LOSS where the stack is used once (forward path, measured -19% e2e),
+    a win only where it amortizes over >= 2 dots (backward loop)."""
+    gT = g * T
+    rep = jnp.broadcast_to(slab[None], (g, T, g * d_k)).reshape(gT, g * d_k)
+    rb = jax.lax.broadcasted_iota(jnp.int32, (gT, g * d_k), 0) // T
+    lb = jax.lax.broadcasted_iota(jnp.int32, (gT, g * d_k), 1) // d_k
+    return jnp.where(rb == lb, rep, jnp.zeros((), rep.dtype))
+
+
+def _attention_tile(qkv_s, kmask_ref, *, tile_b, T, D, h,
                     av_group, inv_sqrt_dk, tile_i=None, T0=None,
-                    seed0=None, dropout_p=0.0, cdt=jnp.bfloat16):
+                    seed0=None, dropout_p=0.0, cdt=jnp.bfloat16,
+                    prescaled_q=False):
     """Per-video packed attention over one batch tile (shared fwd helper,
     optionally with the in-kernel hash dropout on the attention probs).
+    No query-row masking (see the module docstring: padded-query rows are
+    bounded garbage in key_query mode, masked downstream).  With
+    prescaled_q the writer already folded 1/sqrt(d_k) into q's lanes of
+    qkv_s.
+
+    Scores run as h per-head k=d_k dots packed on sublanes -> ONE masked
+    softmax per video; p @ v runs in head-GROUPS of g=av_group (one
+    [g*T, T] @ [T, g*d_k] dot per group whose g diagonal blocks are the
+    wanted outputs — g x the per-head FLOPs but full 128 output lanes at
+    d_k=32).  A block-diagonal-q score variant (ONE full-contraction dot
+    per group, _blockdiag_stack) was measured 19% SLOWER e2e on v5e
+    (12.9k vs 15.9k seq/s): the VPU select building the stacks costs
+    more than the saved MXU passes on this forward path (it stays in the
+    backward kernel, where each stack amortizes over two uses and the
+    loop is issue-bound).
 
     Returns the [R, D] concatenated head outputs (fp32)."""
     d_k = D // h
@@ -392,7 +389,6 @@ def _attention_tile(qkv_s, kmask_ref, qmask_ref, *, tile_b, T, D, h,
     outs_rows = []
     for b in range(tile_b):
         rows = slice(b * T, (b + 1) * T)
-        qm = qmask_ref[rows, :]
         km = kmask_ref[0, b:b + 1, :]
         qkvb = qkv_s[rows, :]
         parts = []
@@ -402,17 +398,15 @@ def _attention_tile(qkv_s, kmask_ref, qmask_ref, *, tile_b, T, D, h,
             parts.append(jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32))
-        s = jnp.concatenate(parts, axis=0) * inv_sqrt_dk
-        qm_t = jnp.concatenate([qm] * h, axis=0)
-        s = jnp.where(qm_t == 0, NEG_INF, s)
+        s = jnp.concatenate(parts, axis=0)                 # [h*T, T]
+        if not prescaled_q:
+            s = s * inv_sqrt_dk
         s = jnp.where(km == 0, NEG_INF, s)
         p = jax.nn.softmax(s, axis=-1)
         if dropout_p > 0.0:
             gb = tile_i * tile_b + b
-            pd = _drop(p, seed0, _attn_site_idx(gb, h, T, T0), dropout_p)
-        else:
-            pd = p
-        pd = pd.astype(cdt)
+            p = _drop(p, seed0, _attn_site_idx(gb, h, T, T0), dropout_p)
+        pd = p.astype(cdt)
         outs = []
         for grp in range(h // g):
             pg = pd[grp * g * T:(grp + 1) * g * T, :]
@@ -425,7 +419,7 @@ def _attention_tile(qkv_s, kmask_ref, qmask_ref, *, tile_b, T, D, h,
     return jnp.concatenate(outs_rows, axis=0)
 
 
-def _train_kernel(x_ref, kmask_ref, qmask_ref,
+def _train_kernel(x_ref, kmask_ref,
                   ln1a_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                   ln2a_ref, ln2b_ref, wff1_ref, bff1_ref, wff2_ref, bff2_ref,
                   seeds_ref, out_ref, saved_ref, x_s, qkv_s,
@@ -451,11 +445,13 @@ def _train_kernel(x_ref, kmask_ref, qmask_ref,
     xn = _ln(x, ln1a_ref[0], ln1b_ref[0])
     qkv = jnp.dot(xn.astype(cdt), wqkv_ref[0],
                   preferred_element_type=jnp.float32) + bqkv_ref[0]
-    qkv_s[:] = qkv.astype(cdt)
+    qkv_s[:, :D] = (qkv[:, :D] * inv_sqrt_dk).astype(cdt)
+    qkv_s[:, D:] = qkv[:, D:].astype(cdt)
     attn_c = _attention_tile(
-        qkv_s, kmask_ref, qmask_ref, tile_b=tile_b, T=T, D=D, h=h,
+        qkv_s, kmask_ref, tile_b=tile_b, T=T, D=D, h=h,
         av_group=av_group, inv_sqrt_dk=inv_sqrt_dk, tile_i=i, T0=T0,
-        seed0=_seed(seeds_ref, l, 0), dropout_p=dropout_p, cdt=cdt)
+        seed0=_seed(seeds_ref, l, 0), dropout_p=dropout_p, cdt=cdt,
+        prescaled_q=True)
     attn = jnp.dot(attn_c.astype(cdt), wout_ref[0],
                    preferred_element_type=jnp.float32) + bout_ref[0]
     idx_d = _row_site_idx(i, tile_b, T, T0, D)
@@ -498,7 +494,7 @@ def _ln_bwd(x, a, g, eps: float = 1e-6):
     return dx, da, db
 
 
-def _bwd_kernel(x_ref, dy_ref, kmask_ref, qmask_ref,
+def _bwd_kernel(x_ref, dy_ref, kmask_ref,
                 ln1a_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                 ln2a_ref, ln2b_ref, wff1_ref, bff1_ref, wff2_ref, bff2_ref,
                 seeds_ref,
@@ -534,11 +530,15 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref, qmask_ref,
     xn1_s[:] = xn1.astype(cdt)
     qkv = jnp.dot(xn1_s[:], wqkv_ref[0],
                   preferred_element_type=jnp.float32) + bqkv_ref[0]
-    qkv_s[:] = qkv.astype(cdt)
+    # prescaled q, exactly like the forward kernels — the recomputed
+    # scores/probs are then bit-identical to the forward's
+    qkv_s[:, :D] = (qkv[:, :D] * inv_sqrt_dk).astype(cdt)
+    qkv_s[:, D:] = qkv[:, D:].astype(cdt)
     attn_c = _attention_tile(
-        qkv_s, kmask_ref, qmask_ref, tile_b=tile_b, T=T, D=D, h=h,
+        qkv_s, kmask_ref, tile_b=tile_b, T=T, D=D, h=h,
         av_group=av_group, inv_sqrt_dk=inv_sqrt_dk, tile_i=i, T0=T0,
-        seed0=_seed(seeds_ref, 0, 0), dropout_p=dropout_p, cdt=cdt)
+        seed0=_seed(seeds_ref, 0, 0), dropout_p=dropout_p, cdt=cdt,
+        prescaled_q=True)
     o_s[:] = attn_c.astype(cdt)
     attn = jnp.dot(o_s[:], wout_ref[0],
                    preferred_element_type=jnp.float32) + bout_ref[0]
@@ -597,65 +597,69 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref, qmask_ref,
         preferred_element_type=jnp.float32)
     xn2_s[:] = do.astype(cdt)     # xn2 no longer needed: reuse for do
 
+    # Attention backward per video, heads in block-diagonal GROUPS of g
+    # (_blockdiag_stack): each of the five per-head dot families (score
+    # recompute, dpd, dv, dq, dk) becomes ONE full-contraction (or
+    # full-output-lane) dot per group — 100 MXU passes/video instead of
+    # 160, and ~10 dot issues instead of ~40 (this backward is
+    # issue-bound, not MXU-bound, in bf16).
+    g = av_group
     for b in range(tile_b):
         rows = slice(b * T, (b + 1) * T)
-        qm = qmask_ref[rows, :]
         km = kmask_ref[0, b:b + 1, :]
         qkvb = qkv_s[rows, :]
-        # recompute this video's packed scores/probs (pass 2)
-        parts = []
-        for head in range(h):
-            q = qkvb[:, head * d_k:(head + 1) * d_k]
-            k = qkvb[:, D + head * d_k:D + (head + 1) * d_k]
-            parts.append(jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        s = jnp.concatenate(parts, axis=0) * inv_sqrt_dk
-        qm_t = jnp.concatenate([qm] * h, axis=0)
-        s = jnp.where(qm_t == 0, NEG_INF, s)
-        s = jnp.where(km == 0, NEG_INF, s)
-        p = jax.nn.softmax(s, axis=-1)                     # [h*T, T] fp32
-        gb = i * tile_b + b
-        if dropout_p > 0.0:
-            k0 = _keep(_seed(seeds_ref, 0, 0),
-                       _attn_site_idx(gb, h, T, T0), dropout_p)
-            pd = jnp.where(k0, p / keep, 0.0)
-        else:
-            pd = p
         dob = xn2_s[rows, :]                               # [T, D] cdt
-        # dpd[head] = do_h @ v_h^T  (packed on sublanes like the fwd)
-        parts = []
-        for head in range(h):
-            doh = dob[:, head * d_k:(head + 1) * d_k]
-            vh = qkvb[:, 2 * D + head * d_k:2 * D + (head + 1) * d_k]
-            parts.append(jax.lax.dot_general(
-                doh, vh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        dpd = jnp.concatenate(parts, axis=0)               # [h*T, T]
-        # dv[head] = pd_h^T @ do_h
-        pdc = pd.astype(cdt)
-        dvs = []
-        for head in range(h):
-            pdh = pdc[head * T:(head + 1) * T, :]
-            doh = dob[:, head * d_k:(head + 1) * d_k]
+        gb = i * tile_b + b
+        dqs, dks, dvs = [], [], []
+        for grp in range(h // g):
+            c0, c1 = grp * g * d_k, (grp + 1) * g * d_k
+            kg = qkvb[:, D + c0:D + c1]                    # [T, g*d_k]
+            vg = qkvb[:, 2 * D + c0:2 * D + c1]
+            if g == 1:
+                qstack = qkvb[:, c0:c1]
+                dostack = dob[:, c0:c1]
+            else:
+                qstack = _blockdiag_stack(qkvb[:, c0:c1], g, T, d_k)
+                dostack = _blockdiag_stack(dob[:, c0:c1], g, T, d_k)
+            # recompute this group's packed scores/probs (pass 2);
+            # q is prescaled, so s is bit-identical to the forward's
+            s = jax.lax.dot_general(
+                qstack, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [g*T, T]
+            s = jnp.where(km == 0, NEG_INF, s)
+            p = jax.nn.softmax(s, axis=-1)
+            if dropout_p > 0.0:
+                k0 = _keep(_seed(seeds_ref, 0, 0),
+                           _attn_site_idx(gb, h, T, T0, head0=grp * g,
+                                          nh=g), dropout_p)
+                pd = jnp.where(k0, p / keep, 0.0)
+            else:
+                pd = p
+            # dpd = block-diag(do) @ v^T: row-block j = do_j @ v_j^T
+            dpd = jax.lax.dot_general(
+                dostack, vg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [g*T, T]
+            # dv lane-block j = pd_j^T @ do_j (rows contract; the zero
+            # row-blocks of dostack annihilate cross-head terms)
             dvs.append(jax.lax.dot_general(
-                pdh, doh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        if dropout_p > 0.0:
-            dp = jnp.where(k0, dpd / keep, 0.0)
-        else:
-            dp = dpd
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dsc = (ds * inv_sqrt_dk).astype(cdt)
-        dqs, dks = [], []
-        for head in range(h):
-            dsh = dsc[head * T:(head + 1) * T, :]
-            q = qkvb[:, head * d_k:(head + 1) * d_k]
-            k = qkvb[:, D + head * d_k:D + (head + 1) * d_k]
-            dqs.append(jnp.dot(dsh, k, preferred_element_type=jnp.float32))
+                pd.astype(cdt), dostack, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))       # [T, g*d_k]
+            if dropout_p > 0.0:
+                dp = jnp.where(k0, dpd / keep, 0.0)
+            else:
+                dp = dpd
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            # dq (wrt the UNSCALED q) = (ds * inv_sqrt_dk) @ k: diagonal
+            # blocks of one [g*T, T] @ [T, g*d_k] dot (p@v-style packing)
+            dq_full = jnp.dot((ds * inv_sqrt_dk).astype(cdt), kg,
+                              preferred_element_type=jnp.float32)
+            dqs.append(jnp.concatenate(
+                [dq_full[j * T:(j + 1) * T, j * d_k:(j + 1) * d_k]
+                 for j in range(g)], axis=1))              # [T, g*d_k]
+            # dk lane-block j = ds_j^T @ q_scaled_j  (= dsc_j^T @ q_j)
             dks.append(jax.lax.dot_general(
-                dsh, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
+                ds.astype(cdt), qstack, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))       # [T, g*d_k]
         dqkv_b = jnp.concatenate(
             [jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
              jnp.concatenate(dvs, axis=1)], axis=1)        # [T, 3D] fp32
@@ -716,7 +720,6 @@ def _train_fwd_impl(layers, x, mask, *, h, dropout_p, seeds,
     if tile_b is None:
         tile_b = _pick_tile_b_train(B, T0, D, x.dtype.itemsize)
     x_p, m2, T, Bp = _prep_padded(x, mask, tile_b)
-    qmask = m2.reshape(Bp * T, 1)
     w = _pack_weights({"layers": layers,
                        "norm": {"a_2": jnp.zeros(D), "b_2": jnp.zeros(D)}},
                       x.dtype)
@@ -742,8 +745,6 @@ def _train_fwd_impl(layers, x, mask, *, h, dropout_p, seeds,
             pl.BlockSpec((tile_b, T, D), lambda b, l: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_b, T), lambda b, l: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda b, l: (b, 0),
                          memory_space=pltpu.VMEM),
             wspec((1, D)), wspec((1, D)),
             wspec((D, 3 * D)), wspec((1, 3 * D)),
@@ -771,7 +772,7 @@ def _train_fwd_impl(layers, x, mask, *, h, dropout_p, seeds,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x_p, m2.reshape(n_tiles, tile_b, T), qmask,
+    )(x_p, m2.reshape(n_tiles, tile_b, T),
       w["ln1a"], w["ln1b"], w["wqkv"], w["bqkv"], w["wout"], w["bout"],
       w["ln2a"], w["ln2b"], w["wff1"], w["bff1"], w["wff2"], w["bff2"],
       seeds)
@@ -800,7 +801,6 @@ def _layer_bwd_call(wl, seeds_row, x_l, dy, m2, *, h, dropout_p, T0, B,
         tile_b = _pick_tile_b_bwd(Bp, T, D, F, jnp.dtype(cdt).itemsize)
     n_tiles = Bp // tile_b
     R = tile_b * T
-    qmask = m2.reshape(Bp * T, 1)
 
     def wspec(block):
         return pl.BlockSpec((1,) + block, lambda i: (0,) + (0,) * len(block),
@@ -821,8 +821,6 @@ def _layer_bwd_call(wl, seeds_row, x_l, dy, m2, *, h, dropout_p, T0, B,
             pl.BlockSpec((tile_b, T, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_b, T), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             wspec((1, D)), wspec((1, D)),
             wspec((D, 3 * D)), wspec((1, 3 * D)),
@@ -859,7 +857,7 @@ def _layer_bwd_call(wl, seeds_row, x_l, dy, m2, *, h, dropout_p, T0, B,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(x_l, dy, m2.reshape(n_tiles, tile_b, T), qmask,
+    )(x_l, dy, m2.reshape(n_tiles, tile_b, T),
       wl["ln1a"], wl["ln1b"], wl["wqkv"], wl["bqkv"], wl["wout"],
       wl["bout"], wl["ln2a"], wl["ln2b"], wl["wff1"], wl["bff1"],
       wl["wff2"], wl["bff2"], seeds_row)
