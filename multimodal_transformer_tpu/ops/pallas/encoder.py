@@ -37,6 +37,7 @@ dropout keeps the jnp path — same gating as the flash kernel.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -342,6 +343,42 @@ def _seed(seeds_ref, l, site: int):
     return seeds_ref[l, site].astype(jnp.uint32)
 
 
+def _masked_softmax(s):
+    """Row softmax over already-masked fp32 scores, with an optional
+    no-row-max variant (MMTX_ENC_SOFTMAX) — measured e2e-NEUTRAL, so the
+    default stays jax.nn.softmax (zero numerics change vs the jnp path).
+
+    The experiment (v5e, B=32, T=160): in an isolated 6-layer-stack
+    micro-bench, dropping the row-max reduce+broadcast looked like -17%
+    (0.435 -> 0.360 ms, = ablating the whole softmax, i.e. exp/sum/div
+    hide under MXU work) — but the decisive one-process alternating
+    full-model A/B showed PARITY within noise (ref 1.98 vs nomax
+    1.96 ms across 3 interleaved rounds): in context the max pass
+    overlaps other work.  Negative result recorded; the variant stays as
+    an opt-in knob for other shapes/hardware.
+
+    MMTX_ENC_SOFTMAX=nomax computes
+
+      e = exp(min(s, 60) - 8);  p = e / (sum(e) + 1e-30)
+
+    (scalar clamp instead of the row-max reduction: no overflow for any
+    input since sum(e) < T*e^52 << fp32 max; matches the max-subtracted
+    form to fp32 rounding on realistic LN'd-activation scores; masked
+    lanes exp(NEG_INF-8) = 0 exactly; ALL-masked rows — padded videos in
+    a padded batch tile — yield p = 0 instead of uniform 1/T garbage, so
+    the train kernels' grad accumulators can never see NaN from them).
+    =skip is an ablation ONLY (wrong numerics) bounding the softmax's
+    share of kernel time.  Both the fwd tile and the bwd recompute call
+    this, so training fwd/bwd always see bit-identical probs."""
+    sm = os.environ.get("MMTX_ENC_SOFTMAX", "ref")
+    if sm == "nomax":
+        e = jnp.exp(jnp.minimum(s, 60.0) - 8.0)
+        return e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-30)
+    if sm == "skip":
+        return s * (1.0 / s.shape[-1])
+    return jax.nn.softmax(s, axis=-1)
+
+
 def _blockdiag_stack(slab, g: int, T: int, d_k: int):
     """[T, g*d_k] head-group slab -> [g*T, g*d_k] BLOCK-DIAGONAL stack:
     head j's d_k lanes land in row-block j / lane-block j, zeros elsewhere.
@@ -402,7 +439,7 @@ def _attention_tile(qkv_s, kmask_ref, *, tile_b, T, D, h,
         if not prescaled_q:
             s = s * inv_sqrt_dk
         s = jnp.where(km == 0, NEG_INF, s)
-        p = jax.nn.softmax(s, axis=-1)
+        p = _masked_softmax(s)
         if dropout_p > 0.0:
             gb = tile_i * tile_b + b
             p = _drop(p, seed0, _attn_site_idx(gb, h, T, T0), dropout_p)
@@ -627,7 +664,7 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
                 qstack, kg, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)        # [g*T, T]
             s = jnp.where(km == 0, NEG_INF, s)
-            p = jax.nn.softmax(s, axis=-1)
+            p = _masked_softmax(s)
             if dropout_p > 0.0:
                 k0 = _keep(_seed(seeds_ref, 0, 0),
                            _attn_site_idx(gb, h, T, T0, head0=grp * g,

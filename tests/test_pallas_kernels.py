@@ -563,3 +563,33 @@ def test_encoder_train_dispatch_hash_only(_hash_dropout, monkeypatch):
     encoder_stack(params, x, mask, h=h, rng=rng, dropout_p=0.1,
                   mask_mode="key_query")
     assert not calls, "threefry dropout must NOT dispatch the fused kernel"
+
+
+def test_masked_softmax_semantics(monkeypatch):
+    """The fused kernels' opt-in no-row-max softmax (MMTX_ENC_SOFTMAX=
+    nomax, measured e2e-neutral): matches jax.nn.softmax to fp32 rounding
+    on realistic masked scores, clamps huge scores finitely, and maps
+    ALL-masked rows (padded videos) to exactly 0 instead of uniform
+    garbage (so the train kernels' grad accumulators can never see NaN
+    from padded rows)."""
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        NEG_INF, _masked_softmax)
+
+    monkeypatch.setenv("MMTX_ENC_SOFTMAX", "nomax")
+
+    rs = np.random.RandomState(0)
+    s = jnp.asarray(rs.randn(12, 16).astype(np.float32) * 5.0)
+    s = s.at[:, 10:].set(NEG_INF)      # masked key columns
+    s = s.at[3, :].set(NEG_INF)        # an all-masked (padded) row
+    got = np.asarray(_masked_softmax(s))
+    want = np.asarray(jax.nn.softmax(s, axis=-1))
+    rows = np.ones(12, bool)
+    rows[3] = False
+    np.testing.assert_allclose(got[rows], want[rows], rtol=1e-5, atol=1e-7)
+    assert np.all(got[3] == 0.0), "all-masked row must be exactly 0"
+    assert np.all(got[:, 10:] == 0.0), "masked columns must be exactly 0"
+    # clamp: enormous scores stay finite and still sum to ~1 per row
+    hot = jnp.full((2, 8), 500.0, jnp.float32)
+    p = np.asarray(_masked_softmax(hot))
+    assert np.isfinite(p).all()
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-5)
