@@ -60,6 +60,10 @@ hash impl, same-session A/Bs via examples/bench_train.py):
     (softmax + per-group score dots), not MXU-bound.  Mixed precision is
     therefore the fastest training recipe post-hash-dropout (the earlier
     "mixed is neutral" verdict was measured when threefry dominated).
+  * fused MFN train kernels ON TOP of the above (mfn_train, measured with
+    the per-dtype encoder defaults already applied): fp32 15.25 -> 10.28
+    ms/step, mixed 14.29 -> 9.88 ms/step.  Mixed + all kernels is the
+    fastest recipe at ~9.9 ms/step.
 
 Overrides: per-kernel MMTX_PALLAS_ATTN / MMTX_PALLAS_WEMBED /
 MMTX_PALLAS_MFN / MMTX_PALLAS_ENCODER (=0/1) beat the global MMTX_PALLAS
@@ -76,8 +80,15 @@ import jax
 
 _TPU_BACKENDS = ("tpu", "axon")
 
-# measured per-kernel defaults (see module docstring)
-_DEFAULTS = {"wembed": False, "mfn": True, "attn": False, "encoder": True}
+# measured per-kernel defaults (see module docstring).  "mfn_train" is the
+# dropout-ON fused MFN recurrence (Pallas fwd with in-kernel hash dropout
+# + reverse-recurrence Pallas bwd, ops/pallas/mfn_train.py): measured v5e
+# MFT train-step A/B (bench_train.py, dropout on) fp32 15.25 -> 10.28
+# ms/step, mixed 14.29 -> 9.88 — the jnp reverse-scan paid ~25 us/step in
+# tiny-op latency (bench_train_components.py: MFN+head fwd+bwd was 4.23 of
+# 14.99 ms) -> default ON.
+_DEFAULTS = {"wembed": False, "mfn": True, "attn": False, "encoder": True,
+             "mfn_train": True}
 
 
 def _on_tpu() -> bool:

@@ -102,9 +102,10 @@ def mfn_scan(params, inputs, mods, *, rng=None):
     # scan (~0.27 ms, stable slope timing — see mfn_kernel.py docstring),
     # but end-to-end the kernel set is +14-15% on the MFT bench (fewer
     # fusion boundaries around the recurrence).  MMTX_PALLAS_MFN=0 opts out.
-    # The kernel branch is differentiable via a remat custom_vjp (backward
-    # runs the jnp scan below) — dropout-free training (rng=None under
-    # value_and_grad) dispatches here too, like the encoder/flash kernels.
+    # Differentiable via a custom_vjp whose backward runs the fused
+    # reverse-recurrence kernel (ops/pallas/mfn_train.py, p=0) — so
+    # dropout-free training (rng=None under value_and_grad) dispatches
+    # here too; MMTX_PALLAS_MFN_TRAIN=0 falls back to the jnp-scan remat.
     from .dispatch import pallas_enabled
     if rng is None and pallas_enabled("mfn"):
         all_hs_b, all_mems_b = _mfn_states_pallas_trainable(
@@ -113,7 +114,17 @@ def mfn_scan(params, inputs, mods, *, rng=None):
         h = jax.nn.relu(linear(params["out_fc1"], feats))
         return linear(params["out_fc2"], h)
 
-    all_hs, all_mems = _mfn_states_scan(params, inputs, mods, rng=rng)
+    # Dropout-ON fused path (ops/pallas/mfn_train.py): Pallas forward with
+    # in-kernel fmix32 gamma dropout (bit-identical mask bits to this
+    # module's hoisted-hash scan below) + a full reverse-recurrence Pallas
+    # backward with VMEM-resident grad accumulators.  Hash impl only —
+    # threefry mask bits are not kernel-regenerable.
+    if (rng is not None and _dropout_impl() == "hash"
+            and pallas_enabled("mfn_train")):
+        all_hs, all_mems = _mfn_states_fused_path(params, inputs,
+                                                  tuple(mods), rng)
+    else:
+        all_hs, all_mems = _mfn_states_scan(params, inputs, mods, rng=rng)
 
     # Output head, batched over all timesteps: [T, B, total_h + mem].
     feats = jnp.concatenate([all_hs, all_mems], axis=2)
@@ -234,9 +245,56 @@ def _scan_unroll() -> int:
         return 1
 
 
-# Differentiable wrapper over the Pallas full-recurrence kernel: kernel
-# forward, backward rematerialized through the jnp scan (the same pattern
-# as pallas/{window_embed,attention,encoder}.py custom_vjps).
+def _hoist_gp_xps(params, inputs, mods):
+    """The recurrence's kernel-boundary inputs: gate/h-to-h params (gp,
+    original torch layouts) + hoisted per-mod input projections (xps,
+    time-major [T, B, 4H], biases folded in).  Pure jnp, so jax.vjp of
+    this function routes kernel cotangents back onto the params/inputs
+    pytrees (weight_ih/bias grads come from d_xps)."""
+    xps = {}
+    for m in mods:
+        p = params[f"lstm_{m}"]
+        xps[m] = (jnp.einsum("btd,gd->btg", inputs[m], p["weight_ih"])
+                  + p["bias_ih"] + p["bias_hh"]).transpose(1, 0, 2)
+    gp = {f"whh_{m}": params[f"lstm_{m}"]["weight_hh"] for m in mods}
+    for name in ("att1_fc1", "att1_fc2", "att2_fc1", "att2_fc2",
+                 "gamma1_fc1", "gamma1_fc2", "gamma2_fc1", "gamma2_fc2"):
+        gp[name] = params[name]
+    return gp, xps
+
+
+def _mfn_states_fused_path(params, inputs, mods, rng):
+    """Dropout-ON fused recurrence: hoists the input projections and the
+    per-step dropout seed table exactly like _mfn_states_scan's hash path
+    (same expressions -> same mask bits), then runs the Pallas train
+    kernels via their custom_vjp.  Returns TIME-major (all_hs, all_mems)
+    like _mfn_states_scan."""
+    from .pallas.mfn_train import mfn_states_fused_train
+
+    first = inputs[mods[0]]
+    T = first.shape[1]
+    gp, xps = _hoist_gp_xps(params, inputs, mods)
+
+    # identical key chain to _mfn_states_scan's hoisted-hash table
+    step_rngs = jax.random.split(rng, T)
+    sub = jax.vmap(lambda k: jax.random.split(k, 2))(step_rngs)
+    seeds = jax.vmap(
+        lambda ks: jnp.stack([hash_seed(ks[0]), hash_seed(ks[1])])
+    )(sub)                                                 # [T, 2] uint32
+    seeds = jax.lax.bitcast_convert_type(seeds, jnp.int32)  # SMEM wants i32
+
+    return mfn_states_fused_train(
+        gp, xps, seeds, mods, (DROPOUTS["gamma1"], DROPOUTS["gamma2"]))
+
+
+# Differentiable wrapper over the Pallas full-recurrence kernel.  The
+# primal (eval: never differentiated) keeps the lean proven eval kernel;
+# under differentiation the fwd rule runs the train-forward kernel (which
+# also saves the cell states) so the backward can run the fused
+# reverse-recurrence kernel (ops/pallas/mfn_train.py) — measured 15.25 ->
+# 10.28 ms/step fp32 on the dropout path, and the dropout-free backward
+# is the same kernel with p=0.  MMTX_PALLAS_MFN_TRAIN=0 falls back to the
+# round-2 behavior (backward rematerialized through the jnp scan).
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _mfn_states_pallas_trainable(params, inputs, mods):
@@ -244,20 +302,44 @@ def _mfn_states_pallas_trainable(params, inputs, mods):
     return mfn_scan_pallas(params, inputs, list(mods))
 
 
+def _zero_seeds(inputs, mods):
+    return jnp.zeros((inputs[mods[0]].shape[1], 2), jnp.int32)
+
+
 def _mfn_states_fwd(params, inputs, mods):
-    return (_mfn_states_pallas_trainable(params, inputs, mods),
-            (params, inputs))
+    from .dispatch import pallas_enabled
+    if not pallas_enabled("mfn_train"):
+        return (_mfn_states_pallas_trainable(params, inputs, mods),
+                (False, params, inputs, None))
+    from .pallas.mfn_train import _fwd_call, _interpret
+    gp, xps = _hoist_gp_xps(params, inputs, list(mods))
+    hs, cs, mems = _fwd_call(gp, xps, _zero_seeds(inputs, mods), mods,
+                             0.0, 0.0, interpret=_interpret())
+    out = (hs.transpose(1, 0, 2), mems.transpose(1, 0, 2))  # batch-major
+    return out, (True, params, inputs, (xps, (hs, cs, mems)))
 
 
 def _mfn_states_bwd(mods, res, g):
-    params, inputs = res
+    fused, params, inputs, saved = res
+    if not fused:
+        def batch_major_states(p, i):
+            hs, mems = _mfn_states_scan(p, i, list(mods), rng=None)
+            return hs.transpose(1, 0, 2), mems.transpose(1, 0, 2)
 
-    def batch_major_states(p, i):
-        hs, mems = _mfn_states_scan(p, i, list(mods), rng=None)
-        return hs.transpose(1, 0, 2), mems.transpose(1, 0, 2)
+        _, vjp = jax.vjp(batch_major_states, params, inputs)
+        return vjp(g)
 
-    _, vjp = jax.vjp(batch_major_states, params, inputs)
-    return vjp(g)
+    from .pallas.mfn_train import _bwd_call, _interpret
+    xps, states = saved
+    gp, _ = _hoist_gp_xps(params, inputs, list(mods))
+    g_hs = g[0].transpose(1, 0, 2)
+    g_mems = g[1].transpose(1, 0, 2)
+    d_gp, d_xps = _bwd_call(gp, xps, _zero_seeds(inputs, mods), states,
+                            g_hs, g_mems, mods, 0.0, 0.0,
+                            interpret=_interpret())
+    _, hvjp = jax.vjp(lambda p, i: _hoist_gp_xps(p, i, list(mods)),
+                      params, inputs)
+    return hvjp((d_gp, d_xps))
 
 
 _mfn_states_pallas_trainable.defvjp(_mfn_states_fwd, _mfn_states_bwd)

@@ -42,8 +42,9 @@ latency-bound at ~1.7 us/step where scan and kernel are equivalent; END TO
 END the kernel + fused window-embed measure +14-15% on the MFT bench
 (reproduced: 8.6-8.8k vs 7.6k seq/s) — fewer fusion boundaries around the
 recurrence — so dispatch defaults the kernel ON for TPU eval and
-dropout-free training (MMTX_PALLAS_MFN=0 opts out); dropout training
-takes the lax.scan.
+dropout-free training (MMTX_PALLAS_MFN=0 opts out); TRAINING (both
+dropout settings) has dedicated fused kernels in ops/pallas/mfn_train.py
+(Pallas fwd with in-kernel hash dropout + reverse-recurrence Pallas bwd).
 
 The packed variant below (VERDICT r1 #6 experiment) collapses the step's
 ~9 mixed-width matmuls into 5 via zero-block packing; measured exactly at

@@ -593,3 +593,61 @@ def test_masked_softmax_semantics(monkeypatch):
     p = np.asarray(_masked_softmax(hot))
     assert np.isfinite(p).all()
     np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-5)
+
+
+# ------------------------------------ fused MFN training path (dropout ON)
+
+def test_mfn_train_fused_forward_matches_scan(_hash_dropout, monkeypatch):
+    """The Pallas MFN train forward (in-kernel gamma dropout) must match
+    the hoisted-hash lax.scan path bit-for-bit in mask bits and to fp32
+    rounding in values, through the full mfn_scan (incl. the jnp out
+    head) for a 3-modality config."""
+    import multimodal_transformer_tpu.ops.dispatch as dispatch
+    from multimodal_transformer_tpu.ops.mfn_core import mfn_init, mfn_scan
+
+    mods = ["linguistic", "acoustic", "image"]
+    dims = {"linguistic": 24, "acoustic": 16, "image": 20}
+    p = mfn_init(jax.random.PRNGKey(31), mods, dims, 1)
+    rs = np.random.RandomState(31)
+    B, T = 3, 7
+    inputs = {m: jnp.asarray(rs.randn(B, T, dims[m]).astype(np.float32))
+              for m in mods}
+    rng = jax.random.PRNGKey(77)
+
+    monkeypatch.setattr(dispatch, "pallas_enabled",
+                        lambda k=None: k == "mfn_train")
+    got = mfn_scan(p, inputs, mods, rng=rng)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
+    want = mfn_scan(p, inputs, mods, rng=rng)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mfn_train_fused_grad_parity(_hash_dropout, monkeypatch):
+    """The reverse-recurrence Pallas backward must reproduce the jnp
+    scan's gradients (params AND inputs) with dropout ON — same fmix32
+    mask bits, so this is pure VJP-math parity."""
+    import multimodal_transformer_tpu.ops.dispatch as dispatch
+    from multimodal_transformer_tpu.ops.mfn_core import mfn_init, mfn_scan
+
+    mods = ["linguistic", "acoustic"]
+    dims = {"linguistic": 24, "acoustic": 16}
+    p = mfn_init(jax.random.PRNGKey(33), mods, dims, 1)
+    rs = np.random.RandomState(33)
+    B, T = 2, 6
+    inputs = {m: jnp.asarray(rs.randn(B, T, dims[m]).astype(np.float32))
+              for m in mods}
+    rng = jax.random.PRNGKey(5)
+
+    def loss(p, inputs):
+        return jnp.sum(mfn_scan(p, inputs, mods, rng=rng) ** 2)
+
+    monkeypatch.setattr(dispatch, "pallas_enabled",
+                        lambda k=None: k == "mfn_train")
+    got = jax.grad(loss, argnums=(0, 1))(p, inputs)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
+    want = jax.grad(loss, argnums=(0, 1))(p, inputs)
+    for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(got),
+                                jax.tree_util.tree_leaves_with_path(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-5, err_msg=str(ka))
