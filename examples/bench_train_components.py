@@ -13,7 +13,8 @@ Stages: front-end fwd+bwd, embed + 3x6-layer encoders fwd+bwd, MFN
 recurrence+head fwd+bwd, FULL loss fwd+bwd (no optimizer), FULL train
 step with Adam (= examples/bench_train.py's measurand).
 
-Usage: python examples/bench_train_components.py [--fp32] [--no_dropout]
+Usage: python examples/bench_train_components.py [--fp32|--mixed]
+       [--no_dropout]
 """
 from __future__ import annotations
 
@@ -52,6 +53,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fp32", action="store_true",
                     help="fp32 activations (CLI default); default bf16 data")
+    ap.add_argument("--mixed", action="store_true",
+                    help="--mixed_precision recipe: fp32 masters, bf16 "
+                         "compute (stage params cast inside the loss)")
     ap.add_argument("--no_dropout", action="store_true")
     args_cli = ap.parse_args()
 
@@ -84,6 +88,15 @@ def main():
     def key_for(i):
         return jax.random.fold_in(jax.random.PRNGKey(42), i)
 
+    def cmp_cast(p):
+        # --mixed: grads w.r.t. fp32 masters THROUGH the bf16 cast, like
+        # bench_train.py / train.py --mixed_precision
+        if not args_cli.mixed:
+            return p
+        return jax.tree_util.tree_map(
+            lambda w: w.astype(jnp.bfloat16)
+            if w.dtype == jnp.float32 else w, p)
+
     results = {}
 
     # 1. front-end fwd+bwd (no dropout at eval... keep rng to match train)
@@ -92,7 +105,8 @@ def main():
             def body(i, p):
                 def loss_fn(p):
                     outs = frontend_apply(
-                        p, data, MODS, rng=key_for(i) if use_rng else None)
+                        cmp_cast(p), data, MODS,
+                        rng=key_for(i) if use_rng else None)
                     return sum(jnp.sum(o * o) for o in outs.values())
                 g = jax.grad(loss_fn)(p)
                 return sgd(p, g)
@@ -108,6 +122,7 @@ def main():
         def prog(head, fr, mask):
             def body(i, h):
                 def loss_fn(h):
+                    h = cmp_cast(h)
                     s = 0.0
                     rngs = (jax.random.split(key_for(i), 3)
                             if use_rng else [None] * 3)
@@ -134,6 +149,7 @@ def main():
         def prog(head, enc):
             def body(i, h):
                 def loss_fn(h):
+                    h = cmp_cast(h)
                     o = mfn_scan(h["mfn"], enc, MODS,
                                  rng=key_for(i) if use_rng else None)
                     return jnp.sum(o * o)
@@ -148,7 +164,7 @@ def main():
         def prog(params, data, mask, target):
             def body(i, p):
                 def loss_fn(p):
-                    pred = apply(p, data, mask,
+                    pred = apply(cmp_cast(p), data, mask,
                                  rng=key_for(i) if use_rng else None)
                     d = (pred - target) * mask
                     return jnp.sum(d * d) / jnp.sum(mask)
@@ -160,7 +176,8 @@ def main():
         mk_full, (params, data, mask, target))
 
     from multimodal_transformer_tpu.ops.dispatch import pallas_enabled
-    mode = "fp32" if args_cli.fp32 else "bf16-data"
+    mode = "fp32" if args_cli.fp32 else (
+        "mixed(bf16 compute)" if args_cli.mixed else "bf16-data")
     print(f"MFT AVL TRAIN component budget, B={B} T={T} {mode} "
           f"dropout={'on' if use_rng else 'off'}, kernels: "
           f"MFN={pallas_enabled('mfn')} encoder={pallas_enabled('encoder')} "
