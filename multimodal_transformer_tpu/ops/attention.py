@@ -157,20 +157,22 @@ def encoder_stack(params, x, mask=None, *, h: int = 8, rng=None,
             return encoder_stack_fused_trainable(params, x, mask, h)
         from .basic import _dropout_impl
         _bf16_force = os.environ.get("MMTX_ENC_TRAIN_BF16")  # A/B override
-        _dtype_ok = (x.dtype == jnp.float32 if _bf16_force is None
-                     else _bf16_force == "1")
+        _dtype_ok = True if _bf16_force is None else (
+            _bf16_force == "1" or x.dtype == jnp.float32)
         if _dropout_impl() == "hash" and _dtype_ok:
             # REAL dropout-training path: Pallas forward with in-kernel
             # fmix32 masks + per-layer fused Pallas backward (no remat) —
             # same mask bits as this module's jnp path, so it is a drop-in
             # for the hash dropout stream.  threefry dropout streams keep
             # the jnp path (their bits are not kernel-regenerable).
-            # Gated on fp32 activations: measured v5e MFT train-step A/B
-            # (examples/bench_train.py, same session) — fp32 kernel 15.1 ms
-            # vs jnp 17.6 ms (kernel wins; jnp is near the fp32 MXU wall),
-            # but bf16/mixed kernel 14.7 ms vs jnp 14.2 ms (jnp wins: the
-            # backward kernel is VPU/issue-bound on softmax + grouped
-            # score dots, so bf16 matmuls speed XLA up more).
+            # Dispatches at BOTH dtypes: once the backward stashes the
+            # attention probs/keep bits from the recompute (one softmax +
+            # mask generation instead of two — that backward is
+            # VPU/issue-bound), the kernel wins the measured v5e MFT
+            # train-step A/B at fp32 AND bf16/mixed: mixed kernel 9.51 ms
+            # vs jnp 9.88; fp32 kernel 9.81 (examples/bench_train.py, MFN
+            # train kernels ON, same session; MMTX_ENC_TRAIN_BF16=0
+            # restores the old fp32-only gate for A/B).
             from .pallas.encoder import (dropout_seed_table,
                                          encoder_stack_fused_train)
             seeds = dropout_seed_table(rng, len(params["layers"]))

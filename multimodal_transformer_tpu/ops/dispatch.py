@@ -47,23 +47,20 @@ MMTX_PALLAS=0 if a kernel fails to partition.
 
 Training-path state (v5e MFT full train step, B=32 T=160, dropout ON,
 hash impl, same-session A/Bs via examples/bench_train.py):
-  * fp32 activations (the CLI default: fp32 master params promote the
-    batch): fused encoder TRAIN kernels (in-kernel fmix32 dropout forward
-    + per-layer fused backward with block-diagonal head-grouped attention
-    dots, ops/pallas/encoder.py) 15.1 ms/step vs jnp 17.6 ms -> kernel
-    dispatches (encoder_stack gates on x.dtype==float32).  The jnp step
-    sits near the fp32 MXU wall (413 GFLOP at ~23 GFLOP/ms ~ 48% of the
-    49 TFLOP/s fp32 peak).
-  * bf16/mixed activations (--mixed_precision): jnp 14.2 ms vs kernel
-    14.7 ms -> jnp path keeps training.  bf16 matmuls speed XLA up ~19%
-    while the kernel moves less — its backward is VPU/issue-bound
-    (softmax + per-group score dots), not MXU-bound.  Mixed precision is
-    therefore the fastest training recipe post-hash-dropout (the earlier
-    "mixed is neutral" verdict was measured when threefry dominated).
-  * fused MFN train kernels ON TOP of the above (mfn_train, measured with
-    the per-dtype encoder defaults already applied): fp32 15.25 -> 10.28
-    ms/step, mixed 14.29 -> 9.88 ms/step.  Mixed + all kernels is the
-    fastest recipe at ~9.9 ms/step.
+  * fused encoder TRAIN kernels (in-kernel fmix32 dropout forward +
+    per-layer fused backward with block-diagonal head-grouped attention
+    dots AND a probs/keep-bits stash from the recompute — one softmax +
+    mask generation per layer instead of two, ops/pallas/encoder.py)
+    dispatch at BOTH dtypes.  History: pre-stash the kernel won only at
+    fp32 (15.1 vs jnp 17.6 ms; bf16 lost 14.7 vs 14.2 — the backward is
+    VPU/issue-bound, so bf16 matmuls sped XLA up more).  The stash
+    removed the duplicated VPU work and flipped bf16: with MFN train
+    kernels ON, mixed kernel 9.51 ms/step vs jnp 9.88, fp32 kernel 9.81
+    (4 runs, same session).  MMTX_ENC_TRAIN_BF16=0 restores the
+    fp32-only gate for A/B.
+  * fused MFN train kernels (mfn_train): fp32 15.25 -> 10.28 ms/step,
+    mixed 14.29 -> 9.88 ms/step pre-stash.  Mixed + all kernels is the
+    fastest recipe at ~9.5 ms/step (3.4x the round-1 27.7 ms step).
 
 Overrides: per-kernel MMTX_PALLAS_ATTN / MMTX_PALLAS_WEMBED /
 MMTX_PALLAS_MFN / MMTX_PALLAS_ENCODER (=0/1) beat the global MMTX_PALLAS

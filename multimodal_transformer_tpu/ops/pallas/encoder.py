@@ -401,7 +401,7 @@ def _blockdiag_stack(slab, g: int, T: int, d_k: int):
 def _attention_tile(qkv_s, kmask_ref, *, tile_b, T, D, h,
                     av_group, inv_sqrt_dk, tile_i=None, T0=None,
                     seed0=None, dropout_p=0.0, cdt=jnp.bfloat16,
-                    prescaled_q=False):
+                    prescaled_q=False, p_out=None, k0_out=None):
     """Per-video packed attention over one batch tile (shared fwd helper,
     optionally with the in-kernel hash dropout on the attention probs).
     No query-row masking (see the module docstring: padded-query rows are
@@ -419,6 +419,11 @@ def _attention_tile(qkv_s, kmask_ref, *, tile_b, T, D, h,
     more than the saved MXU passes on this forward path (it stays in the
     backward kernel, where each stack amortizes over two uses and the
     loop is issue-bound).
+
+    With p_out / k0_out (VMEM refs, [tile_b*h*T, T]), stashes each
+    video's pre-dropout probs (fp32) and keep-mask bits (0/1 in the
+    ref's dtype) so a backward kernel can reuse them instead of paying
+    the score dots + softmax + fmix32 mask generation a second time.
 
     Returns the [R, D] concatenated head outputs (fp32)."""
     d_k = D // h
@@ -440,9 +445,15 @@ def _attention_tile(qkv_s, kmask_ref, *, tile_b, T, D, h,
             s = s * inv_sqrt_dk
         s = jnp.where(km == 0, NEG_INF, s)
         p = _masked_softmax(s)
+        if p_out is not None:
+            p_out[b * h * T:(b + 1) * h * T, :] = p
         if dropout_p > 0.0:
             gb = tile_i * tile_b + b
-            p = _drop(p, seed0, _attn_site_idx(gb, h, T, T0), dropout_p)
+            k0 = _keep(seed0, _attn_site_idx(gb, h, T, T0), dropout_p)
+            if k0_out is not None:
+                k0_out[b * h * T:(b + 1) * h * T, :] = k0.astype(
+                    k0_out.dtype)
+            p = jnp.where(k0, p / (1.0 - dropout_p), 0.0)
         pd = p.astype(cdt)
         outs = []
         for grp in range(h // g):
@@ -538,12 +549,15 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
                 dx_ref, dln1a_ref, dln1b_ref, dwqkv_ref, dbqkv_ref,
                 dwout_ref, dbout_ref, dln2a_ref, dln2b_ref,
                 dwff1_ref, dbff1_ref, dwff2_ref, dbff2_ref,
-                qkv_s, xn1_s, o_s, x1_s, xn2_s, midp_s, dx1_s,
+                qkv_s, xn1_s, o_s, x1_s, xn2_s, midp_s, dx1_s, p_s, k0_s,
                 *, tile_b: int, T: int, T0: int, D: int, F: int, h: int,
                 av_group: int, dropout_p: float, cdt):
     """One encoder layer's backward over one batch tile: recompute the
-    forward internals in VMEM from the saved layer input, regenerate the
-    dropout masks, emit dx and accumulate weight grads across tiles."""
+    forward internals in VMEM from the saved layer input, emit dx and
+    accumulate weight grads across tiles.  The attention recompute
+    stashes each video's pre-dropout probs + keep bits (p_s / k0_s), so
+    the grad loop pays the score dots + softmax + fmix32 mask generation
+    ONCE instead of twice."""
     i = pl.program_id(0)
     R = tile_b * T
     d_k = D // h
@@ -575,7 +589,8 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
         qkv_s, kmask_ref, tile_b=tile_b, T=T, D=D, h=h,
         av_group=av_group, inv_sqrt_dk=inv_sqrt_dk, tile_i=i, T0=T0,
         seed0=_seed(seeds_ref, 0, 0), dropout_p=dropout_p, cdt=cdt,
-        prescaled_q=True)
+        prescaled_q=True, p_out=p_s,
+        k0_out=k0_s if dropout_p > 0.0 else None)
     o_s[:] = attn_c.astype(cdt)
     attn = jnp.dot(o_s[:], wout_ref[0],
                    preferred_element_type=jnp.float32) + bout_ref[0]
@@ -635,18 +650,17 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
     xn2_s[:] = do.astype(cdt)     # xn2 no longer needed: reuse for do
 
     # Attention backward per video, heads in block-diagonal GROUPS of g
-    # (_blockdiag_stack): each of the five per-head dot families (score
-    # recompute, dpd, dv, dq, dk) becomes ONE full-contraction (or
-    # full-output-lane) dot per group — 100 MXU passes/video instead of
-    # 160, and ~10 dot issues instead of ~40 (this backward is
-    # issue-bound, not MXU-bound, in bf16).
+    # (_blockdiag_stack): each of the four per-head grad dot families
+    # (dpd, dv, dq, dk) becomes ONE full-contraction (or
+    # full-output-lane) dot per group, and the probs/keep bits come from
+    # the recompute's stash (p_s/k0_s) rather than a second score
+    # dot + softmax + mask generation (this backward is issue-bound, not
+    # MXU-bound, in bf16 — fewer issues is the whole game).
     g = av_group
     for b in range(tile_b):
         rows = slice(b * T, (b + 1) * T)
-        km = kmask_ref[0, b:b + 1, :]
         qkvb = qkv_s[rows, :]
         dob = xn2_s[rows, :]                               # [T, D] cdt
-        gb = i * tile_b + b
         dqs, dks, dvs = [], [], []
         for grp in range(h // g):
             c0, c1 = grp * g * d_k, (grp + 1) * g * d_k
@@ -658,17 +672,11 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
             else:
                 qstack = _blockdiag_stack(qkvb[:, c0:c1], g, T, d_k)
                 dostack = _blockdiag_stack(dob[:, c0:c1], g, T, d_k)
-            # recompute this group's packed scores/probs (pass 2);
-            # q is prescaled, so s is bit-identical to the forward's
-            s = jax.lax.dot_general(
-                qstack, kg, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [g*T, T]
-            s = jnp.where(km == 0, NEG_INF, s)
-            p = _masked_softmax(s)
+            prows = slice(b * h * T + grp * g * T,
+                          b * h * T + (grp + 1) * g * T)
+            p = p_s[prows, :]                              # [g*T, T] fp32
             if dropout_p > 0.0:
-                k0 = _keep(_seed(seeds_ref, 0, 0),
-                           _attn_site_idx(gb, h, T, T0, head0=grp * g,
-                                          nh=g), dropout_p)
+                k0 = k0_s[prows, :] != 0
                 pd = jnp.where(k0, p / keep, 0.0)
             else:
                 pd = p
@@ -816,10 +824,12 @@ def _train_fwd_impl(layers, x, mask, *, h, dropout_p, seeds,
     return out[:B, :T0, :], saved
 
 
-def _pick_tile_b_bwd(B: int, T: int, D: int, F: int, itemsize: int) -> int:
-    # scratches (qkv/xn1/o/xn2 cdt; x1/dx1 + midp fp32) + x/dy/dx blocks
+def _pick_tile_b_bwd(B: int, T: int, D: int, F: int, itemsize: int,
+                     h: int) -> int:
+    # scratches (qkv/xn1/o/xn2 cdt; x1/dx1 + midp fp32; p_s fp32 + k0_s
+    # cdt attention stashes) + x/dy/dx blocks
     per_b = T * (D * ((3 + 1 + 1 + 1) * itemsize + 2 * 4 + 3 * 4 * 2)
-                 + F * 4)
+                 + F * 4 + h * T * (4 + itemsize))
     tb = max(1, min(8, (7 * 1024 * 1024) // per_b))
     while B % tb and tb > 1:
         tb -= 1
@@ -835,7 +845,7 @@ def _layer_bwd_call(wl, seeds_row, x_l, dy, m2, *, h, dropout_p, T0, B,
     Bp, T, D = x_l.shape
     F = wl["wff1"].shape[2]
     if tile_b is None:
-        tile_b = _pick_tile_b_bwd(Bp, T, D, F, jnp.dtype(cdt).itemsize)
+        tile_b = _pick_tile_b_bwd(Bp, T, D, F, jnp.dtype(cdt).itemsize, h)
     n_tiles = Bp // tile_b
     R = tile_b * T
 
@@ -890,6 +900,9 @@ def _layer_bwd_call(wl, seeds_row, x_l, dy, m2, *, h, dropout_p, T0, B,
             pltpu.VMEM((R, D), cdt),        # xn2, reused for d_o
             pltpu.VMEM((R, F), jnp.float32),  # ff mid pre-relu
             pltpu.VMEM((R, D), jnp.float32),  # dx1
+            pltpu.VMEM((h * R, T), jnp.float32),  # p_s: pre-dropout probs
+            pltpu.VMEM((h * R, T) if dropout_p > 0.0 else (8, 128),
+                       cdt),                  # k0_s: keep bits (0/1)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
