@@ -46,6 +46,8 @@ def slope(make_prog, args, n1=N1, n2=N2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 serving mode (the default; explicit alias)")
     args_cli = ap.parse_args()
 
     from multimodal_transformer_tpu.models import build_model, default_config

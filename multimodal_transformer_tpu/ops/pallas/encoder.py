@@ -550,6 +550,7 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
                 dwout_ref, dbout_ref, dln2a_ref, dln2b_ref,
                 dwff1_ref, dbff1_ref, dwff2_ref, dbff2_ref,
                 qkv_s, xn1_s, o_s, x1_s, xn2_s, midp_s, dx1_s, p_s, k0_s,
+                dqkv_s,
                 *, tile_b: int, T: int, T0: int, D: int, F: int, h: int,
                 av_group: int, dropout_p: float, cdt):
     """One encoder layer's backward over one batch tile: recompute the
@@ -705,16 +706,22 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
             dks.append(jax.lax.dot_general(
                 ds.astype(cdt), qstack, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))       # [T, g*d_k]
-        dqkv_b = jnp.concatenate(
+        dqkv_s[rows, :] = jnp.concatenate(
             [jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
-             jnp.concatenate(dvs, axis=1)], axis=1)        # [T, 3D] fp32
-        dwqkv_ref[:] += jax.lax.dot_general(
-            xn1_s[rows, :], dqkv_b.astype(cdt), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dbqkv_ref[:] += jnp.sum(dqkv_b, axis=0, keepdims=True)
-        x1_s[rows, :] = jax.lax.dot_general(
-            dqkv_b.astype(cdt), wqkv_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+             jnp.concatenate(dvs, axis=1)], axis=1).astype(cdt)
+
+    # Trailing qkv-projection grads ONCE per tile (K=R-deep dots) instead
+    # of per video: 3 dot issues instead of 3*tile_b, each with a fuller
+    # MXU contraction.  fp32-accumulated; only dbqkv's summands round
+    # through cdt (bf16 in mixed) vs the old per-video fp32 sums.
+    dwqkv_ref[:] += jax.lax.dot_general(
+        xn1_s[:], dqkv_s[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbqkv_ref[:] += jnp.sum(dqkv_s[:], axis=0, keepdims=True,
+                            dtype=jnp.float32)
+    x1_s[:] = jax.lax.dot_general(
+        dqkv_s[:], wqkv_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     dx_ln, da1, db1 = _ln_bwd(x, ln1a_ref[0], x1_s[:])
     dln1a_ref[:] += da1
@@ -826,9 +833,9 @@ def _train_fwd_impl(layers, x, mask, *, h, dropout_p, seeds,
 
 def _pick_tile_b_bwd(B: int, T: int, D: int, F: int, itemsize: int,
                      h: int) -> int:
-    # scratches (qkv/xn1/o/xn2 cdt; x1/dx1 + midp fp32; p_s fp32 + k0_s
-    # cdt attention stashes) + x/dy/dx blocks
-    per_b = T * (D * ((3 + 1 + 1 + 1) * itemsize + 2 * 4 + 3 * 4 * 2)
+    # scratches (qkv/xn1/o/xn2/dqkv cdt; x1/dx1 + midp fp32; p_s fp32 +
+    # k0_s cdt attention stashes) + x/dy/dx blocks
+    per_b = T * (D * ((3 + 1 + 1 + 1 + 3) * itemsize + 2 * 4 + 3 * 4 * 2)
                  + F * 4 + h * T * (4 + itemsize))
     tb = max(1, min(8, (7 * 1024 * 1024) // per_b))
     while B % tb and tb > 1:
@@ -903,6 +910,7 @@ def _layer_bwd_call(wl, seeds_row, x_l, dy, m2, *, h, dropout_p, T0, B,
             pltpu.VMEM((h * R, T), jnp.float32),  # p_s: pre-dropout probs
             pltpu.VMEM((h * R, T) if dropout_p > 0.0 else (8, 128),
                        cdt),                  # k0_s: keep bits (0/1)
+            pltpu.VMEM((R, 3 * D), cdt),      # dqkv staging for tile dots
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
