@@ -524,6 +524,56 @@ def test_encoder_train_kernel_grad_parity(_hash_dropout, dropout_p):
                                    atol=2e-4, err_msg=str(ka))
 
 
+@pytest.mark.parametrize("dropout_p", [0.0, 0.3])
+def test_encoder_train_kernel_grad_parity_bf16(_hash_dropout, dropout_p):
+    """bf16-activation (cdt=bf16) train kernels vs the jnp bf16 path —
+    guards the --mixed_precision dispatch default (encoder_stack now
+    dispatches the fused train path at BOTH dtypes).  bf16 tolerances:
+    both paths round activations/dots to bf16 in different orders."""
+    from multimodal_transformer_tpu.ops.attention import encoder_stack
+    from multimodal_transformer_tpu.ops.norm import torch_layer_norm
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        dropout_seed_table, encoder_stack_fused_train)
+
+    h = 8
+    params, x, mask, mask_np = _enc_setup(13, 5, 21, 64, 2, h)
+    x = x.astype(jnp.bfloat16)
+    params = jax.tree_util.tree_map(
+        lambda w: w.astype(jnp.bfloat16), params)
+    mask = mask.astype(jnp.bfloat16)
+    rng = jax.random.PRNGKey(5)
+    g = (jnp.asarray(np.random.RandomState(3).randn(*x.shape)
+                     .astype(np.float32)) * mask).astype(jnp.bfloat16)
+
+    def loss_jnp(p, xx):
+        y = encoder_stack(p, xx, mask, h=h, rng=rng, dropout_p=dropout_p,
+                          mask_mode="key_query")
+        return jnp.sum((y * g).astype(jnp.float32))
+
+    def loss_ker(p, xx):
+        seeds = dropout_seed_table(rng, len(p["layers"]))
+        y = encoder_stack_fused_train(p["layers"], xx, mask, h, dropout_p,
+                                      seeds)
+        out = torch_layer_norm(p["norm"], y.astype(xx.dtype))
+        return jnp.sum((out * g).astype(jnp.float32))
+
+    want = jax.grad(loss_jnp, argnums=(0, 1))(params, x)
+    got = jax.grad(loss_ker, argnums=(0, 1))(params, x)
+    # bf16 paths differ systematically per element (the kernel norms and
+    # accumulates in fp32 from its fp32 carry; the jnp bf16 path norms in
+    # bf16), and some leaves are mathematically ZERO (the k-projection
+    # bias: softmax row-grads sum to 0) so their values are pure rounding
+    # noise.  Compare the CONCATENATED gradient vector: real
+    # indexing/mask/seed bugs corrupt substantial leaves at O(their
+    # scale) and blow the global normalized L2; bf16 noise does not.
+    av = np.concatenate([np.asarray(l, np.float32).ravel()
+                         for l in jax.tree_util.tree_leaves(got)])
+    bv = np.concatenate([np.asarray(l, np.float32).ravel()
+                         for l in jax.tree_util.tree_leaves(want)])
+    l2 = float(np.linalg.norm(av - bv)) / float(np.linalg.norm(bv))
+    assert l2 < 0.03, f"global normalized L2 grad error {l2:.4f}"
+
+
 def test_encoder_train_dispatch_hash_only(_hash_dropout, monkeypatch):
     """encoder_stack dispatches the dropout-training kernel only for the
     hash dropout impl; threefry streams keep the jnp path.  The dispatched
