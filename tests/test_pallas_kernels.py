@@ -615,6 +615,45 @@ def test_encoder_train_dispatch_hash_only(_hash_dropout, monkeypatch):
     assert not calls, "threefry dropout must NOT dispatch the fused kernel"
 
 
+def test_encoder_train_dispatch_both_dtypes(_hash_dropout, monkeypatch):
+    """The fused dropout-training kernel dispatches at BOTH dtypes by
+    default (the probs/keep-stash backward flipped the measured bf16
+    verdict); MMTX_ENC_TRAIN_BF16=0 restores the legacy fp32-only gate."""
+    import multimodal_transformer_tpu.ops.dispatch as dispatch
+    import multimodal_transformer_tpu.ops.pallas.encoder as penc
+    from multimodal_transformer_tpu.ops.attention import encoder_stack
+
+    h = 8
+    params, x, mask, _ = _enc_setup(19, 3, 11, 128, 2, h)
+    xb = x.astype(jnp.bfloat16)
+    pb = jax.tree_util.tree_map(lambda w: w.astype(jnp.bfloat16), params)
+    mb = mask.astype(jnp.bfloat16)
+    rng = jax.random.PRNGKey(2)
+
+    calls = []
+    orig = penc.encoder_stack_fused_train
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(penc, "encoder_stack_fused_train", spy)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
+    monkeypatch.delenv("MMTX_ENC_TRAIN_BF16", raising=False)
+    encoder_stack(pb, xb, mb, h=h, rng=rng, dropout_p=0.1,
+                  mask_mode="key_query")
+    assert calls, "bf16 activations should dispatch the fused train kernel"
+
+    calls.clear()
+    monkeypatch.setenv("MMTX_ENC_TRAIN_BF16", "0")
+    encoder_stack(pb, xb, mb, h=h, rng=rng, dropout_p=0.1,
+                  mask_mode="key_query")
+    assert not calls, "MMTX_ENC_TRAIN_BF16=0 must keep bf16 on the jnp path"
+    encoder_stack(params, x, mask, h=h, rng=rng, dropout_p=0.1,
+                  mask_mode="key_query")
+    assert calls, "MMTX_ENC_TRAIN_BF16=0 must still dispatch fp32"
+
+
 def test_masked_softmax_semantics(monkeypatch):
     """The fused kernels' opt-in no-row-max softmax (MMTX_ENC_SOFTMAX=
     nomax, measured e2e-neutral): matches jax.nn.softmax to fp32 rounding
