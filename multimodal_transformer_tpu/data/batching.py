@@ -73,6 +73,14 @@ def make_batches(data: Dict[str, np.ndarray], target: np.ndarray,
             t_max = _round_up(t_max, pad_time_to)
         batch_data = {m: _take_time(a, chunk, t_max) for m, a in data.items()}
         tgt = _take_time(target, chunk, t_max)[..., None].astype(np.float32)
+        # INVARIANT (relied on by the fused Pallas encoder kernels): masks
+        # are TRAILING — mask[bi] is 1 for the first `ln` steps then 0.
+        # The fused eval kernel skips query-row masking, so padded-query
+        # rows carry bounded garbage that is only harmless because (a)
+        # padding is trailing and (b) every consumer re-masks outputs /
+        # recurrent heads only propagate forward in time.  Every mask this
+        # package feeds a model comes from here or bucketed_eval_batches
+        # (same loop) — do not construct interior-hole masks.
         mask = np.zeros((len(chunk), t_max, 1), dtype=np.float32)
         for bi, ln in enumerate(lens):
             mask[bi, :ln] = 1.0

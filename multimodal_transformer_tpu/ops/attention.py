@@ -153,8 +153,22 @@ def encoder_stack(params, x, mask=None, *, h: int = 8, rng=None,
             and x.shape[-1] % h == 0 and x.shape[-1] >= 128
             and pallas_enabled("encoder")):
         if rng is None or dropout_p == 0.0:
-            from .pallas.encoder import encoder_stack_fused_trainable
-            return encoder_stack_fused_trainable(params, x, mask, h)
+            # The opt-in MMTX_ENC_SOFTMAX variants alter the KERNEL
+            # forward's softmax, but this trainable path's custom_vjp
+            # backward remats the jnp encoder (jax.nn.softmax) — under a
+            # non-ref knob a dropout-free TRAINING call would
+            # differentiate a different function than it evaluated
+            # (all-masked rows: 0 vs uniform).  Eval (rng=None) never
+            # takes the backward, so the knob stays usable there; the
+            # dropout train kernel below runs _masked_softmax in BOTH
+            # directions, so it is unaffected.  (ADVICE r2.)
+            if (rng is None
+                    or os.environ.get("MMTX_ENC_SOFTMAX", "ref") == "ref"):
+                from .pallas.encoder import encoder_stack_fused_trainable
+                return encoder_stack_fused_trainable(params, x, mask, h)
+            return _encoder_stack_jnp(params, x, mask, h=h, rng=rng,
+                                      dropout_p=dropout_p,
+                                      mask_mode=mask_mode)
         from .basic import _dropout_impl
         _bf16_force = os.environ.get("MMTX_ENC_TRAIN_BF16")  # A/B override
         _dtype_ok = True if _bf16_force is None else (
@@ -179,6 +193,11 @@ def encoder_stack(params, x, mask=None, *, h: int = 8, rng=None,
             y = encoder_stack_fused_train(params["layers"], x, mask, h,
                                           dropout_p, seeds)
             return torch_layer_norm(params["norm"], y.astype(x.dtype))
+    return _encoder_stack_jnp(params, x, mask, h=h, rng=rng,
+                              dropout_p=dropout_p, mask_mode=mask_mode)
+
+
+def _encoder_stack_jnp(params, x, mask, *, h, rng, dropout_p, mask_mode):
     n = len(params["layers"])
     rngs = jax.random.split(rng, n) if rng is not None else [None] * n
     for layer_params, layer_rng in zip(params["layers"], rngs):

@@ -133,6 +133,10 @@ def test_bucketed_eval_batches_cover_all_videos(fixture_dir):
                                    time_multiple=8):
         assert b.target.shape[1] % 8 == 0
         assert b.target.shape[1] >= max(b.lengths)
+        # trailing-mask invariant the fused Pallas encoder kernels rely on
+        # (no query-row masking in-kernel): 1s prefix then 0s, no holes.
+        for i, ln in enumerate(b.lengths):
+            assert b.mask[i, :ln].all() and not b.mask[i, ln:].any()
         seen += len(b.lengths)
     assert seen == 4
 
