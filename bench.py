@@ -231,6 +231,9 @@ def measure_cpu_baseline(n_iter=2):
 
 
 def main():
+    from multimodal_transformer_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--iters", type=int, default=40,

@@ -324,19 +324,33 @@ class Engine:
 
     # ------------------------------------------------------------------- eval
 
-    def evaluate_per_video(self, data, target, seq_lens
+    def evaluate_per_video(self, data, target, seq_lens, *,
+                           shuffle_rng=None
                            ) -> Tuple[List[float], List[List[float]],
                                       List[List[float]], float, Dict,
                                       Tuple]:
         """Reference-exact eval: bs=1 per video, no shuffle, zero padding.
         Returns (cccs, predictions, actuals, loss, stats,
-        (best_pred, best_actual, best_index))."""
+        (best_pred, best_actual, best_index)).
+
+        shuffle_rng (opt-in, np.random.Generator/RandomState): replicate
+        the reference MFT evaluate() quirk of visiting videos in a
+        SHUFFLED order (MFT/train.py:214-218 calls generateTrainBatch
+        without onEval=True).  Mean/std/loss/per-video CCCs are
+        order-invariant; only the "best single video" tie-breaking and the
+        logged trace order can differ.  The reference's own order is
+        unreproducible — its shuffle is the UNSEEDED stdlib
+        random.shuffle (MFT/train.py:27,80; main() seeds only torch and
+        np.random, :523-526) — so parity on those traces is excluded from
+        the contract (PARITY.md); this knob exists to replicate the
+        order-visiting *behavior*, not any specific reference stream."""
         cccs, corrs, preds, actuals = [], [], [], []
         loss_sum, data_num = 0.0, 0
         best = (-1.0, None, None, 0)
         index = 0
         for batch in make_batches(data, target, seq_lens, batch_size=1,
-                                  shuffle=False):
+                                  shuffle=shuffle_rng is not None,
+                                  rng=shuffle_rng):
             bd, bt, bm = self._device_batch(batch)
             out = self._eval_step(self.params, bd, bm)
             nb = len(batch.lengths)  # drop mesh-padding rows, if any

@@ -41,6 +41,8 @@ class ValencePredictor:
             # window_size from checkpoint metadata included)
             import dataclasses
             cfg = dataclasses.replace(cfg, mask_mode="key_query")
+        from .utils.compile_cache import enable_compile_cache
+        enable_compile_cache()  # warm-start bucket programs across procs
         self.cfg = cfg
         self.batch_size = batch_size
         self.time_multiple = time_multiple

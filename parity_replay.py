@@ -100,6 +100,9 @@ def replay_and_diff(ckpt_path, perf_csv, data_dir, splits, tolerance,
 
 
 def main():
+    from multimodal_transformer_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     ap = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("--pth", "--ckpt", dest="ckpt", required=True,

@@ -22,6 +22,12 @@ xla_flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
 os.environ["XLA_FLAGS"] = (
     xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# In-process CLI tests call train.main(), which enables the persistent XLA
+# compile cache by default; keep the suite from writing cache entries into
+# the user's home dir (the dedicated cache test runs subprocesses with its
+# own env).
+os.environ.setdefault("MMTX_COMPILE_CACHE", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -277,3 +277,26 @@ def test_mixed_precision_resident_training_runs(fixture):
     assert np.isfinite(l1)
     for leaf in jax.tree_util.tree_leaves(eng.params):
         assert leaf.dtype == jnp.float32
+
+
+def test_evaluate_per_video_shuffle_quirk_order_invariant(fixture):
+    """Opt-in MFT evaluate-shuffle quirk replication (MFT/train.py:214-218):
+    a shuffled visit order must leave every order-invariant statistic
+    identical (loss, mean/std CCC, the per-video CCC multiset) and only
+    permute the per-video lists."""
+    cfg, (tr_x, tr_y, tr_l), _ = fixture
+    eng = Engine(cfg, seed=3)
+    cccs, preds, _, loss, stats, _ = eng.evaluate_per_video(
+        tr_x, tr_y, tr_l)
+    rng = np.random.RandomState(11)
+    cccs_s, preds_s, _, loss_s, stats_s, _ = eng.evaluate_per_video(
+        tr_x, tr_y, tr_l, shuffle_rng=rng)
+    assert loss_s == pytest.approx(loss, rel=1e-6)
+    assert stats_s["ccc"] == pytest.approx(stats["ccc"], rel=1e-6)
+    assert stats_s["ccc_std"] == pytest.approx(stats["ccc_std"], rel=1e-6)
+    np.testing.assert_allclose(sorted(cccs_s), sorted(cccs), rtol=1e-6)
+    # deterministic given the caller's RNG: same seed -> same order
+    rng2 = np.random.RandomState(11)
+    cccs_s2, _, _, _, _, _ = eng.evaluate_per_video(tr_x, tr_y, tr_l,
+                                                    shuffle_rng=rng2)
+    assert cccs_s2 == cccs_s

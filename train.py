@@ -410,6 +410,11 @@ def build_arg_parser():
 def main(args):
     np.random.seed(1)
     logger = get_logger(args.log_file)
+    from multimodal_transformer_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    cache_dir = enable_compile_cache()
+    if cache_dir:
+        logger.info("Persistent XLA compile cache: %s", cache_dir)
     from multimodal_transformer_tpu.ops.basic import set_dropout_impl
     set_dropout_impl(args.dropout_impl)
     if args.fast_rng:
