@@ -3,6 +3,7 @@ signal (valid-split per-video CCC well above chance).  Covers the full
 data -> kernels -> model -> engine stack under training dynamics, the thing
 unit parity tests can't see."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -28,7 +29,40 @@ def _prep(cfg, d, subset):
                            cfg.mod_dimension)
 
 
+def test_training_is_bit_deterministic(data):
+    """The foundation that lets the learnability thresholds below be hard
+    single-seed asserts with NO retry (VERDICT r2 #8): on this platform
+    (XLA CPU, 8 virtual devices) a seeded training run is bit-identical
+    across repetitions — verified in- and cross-process during round 3
+    (40-epoch B2 run: final loss and eval CCC reproduce to the last bit).
+    If an environment/toolchain change ever breaks that, THIS test fails
+    with a clear message instead of the thresholds flaking mysteriously."""
+    cfg = default_config("B2-Trans", ("acoustic", "linguistic"))
+    object.__setattr__(cfg, "mod_dimension", dict(SMALL))
+    tx, ty, tl = _prep(cfg, data, "Train")
+
+    def short_run():
+        eng = Engine(cfg, lr=2e-3, seed=1)
+        rng = np.random.RandomState(1)
+        losses = [eng.train_epoch(tx, ty, tl, batch_size=4, rng=rng)
+                  for _ in range(3)]
+        leaves = jax.tree_util.tree_leaves(eng.params)
+        return losses, float(np.sum([np.float64(np.asarray(l).sum())
+                                     for l in leaves]))
+
+    a, b = short_run(), short_run()
+    assert a == b, ("training is no longer bit-deterministic on this "
+                    "platform — the learnability thresholds below are "
+                    f"only flake-free under determinism: {a} vs {b}")
+
+
 @pytest.mark.parametrize("family,mods,epochs,min_ccc", [
+    # Thresholds leave >= 2x margin at the pinned seed (measured r3:
+    # B2 0.516 vs 0.25, B3 0.478 vs 0.10).  Seeds DO vary (B2 seed 2 is a
+    # slow basin: CCC 0.078 @40ep, 0.24 @60ep, still converging) — that
+    # is genuine small-data optimizer sensitivity, not nondeterminism;
+    # the pinned seed + bit-determinism (test above) makes the hard
+    # assert reproducible.
     ("B2-Trans", ("acoustic", "linguistic"), 40, 0.25),
     ("B3-MFN", ("acoustic", "linguistic"), 30, 0.10),
 ])
@@ -38,27 +72,12 @@ def test_family_learns_synthetic_latent(data, family, mods, epochs, min_ccc):
     tx, ty, tl = _prep(cfg, data, "Train")
     vx, vy, vl = _prep(cfg, data, "Valid")
 
-    def attempt(seed):
-        eng = Engine(cfg, lr=2e-3, seed=seed)
-        rng = np.random.RandomState(seed)
-        first_loss = last_loss = eng.train_epoch(tx, ty, tl, batch_size=4,
-                                                 rng=rng)
-        for _ in range(epochs - 1):
-            last_loss = eng.train_epoch(tx, ty, tl, batch_size=4, rng=rng)
-        _, _, _, _, stats, _ = eng.evaluate_per_video(vx, vy, vl)
-        # loss-decrease is part of the retryable outcome, not a hard
-        # assert — the same reduction-order nondeterminism that can sink
-        # the CCC threshold can sink this comparison on a single seed
-        # (epochs == 1 has no decrease to measure; CCC alone gates then)
-        return stats if (epochs == 1 or last_loss < first_loss) else None
-
-    # Every RNG is seeded, but XLA's CPU backend does not pin reduction
-    # order across runs, and ~1e-16 dot-product differences compound over
-    # tens of Adam epochs — a single hard CCC threshold on one seed is a
-    # flake generator (observed once in round 1).  One retry on a second
-    # seed keeps the learnability gate strict without the flake.
-    stats = attempt(1)
-    if stats is None or stats["ccc"] <= min_ccc:
-        stats = attempt(2)
-    assert stats is not None, "loss did not decrease on either seed"
+    eng = Engine(cfg, lr=2e-3, seed=1)
+    rng = np.random.RandomState(1)
+    first_loss = last_loss = eng.train_epoch(tx, ty, tl, batch_size=4,
+                                             rng=rng)
+    for _ in range(epochs - 1):
+        last_loss = eng.train_epoch(tx, ty, tl, batch_size=4, rng=rng)
+    _, _, _, _, stats, _ = eng.evaluate_per_video(vx, vy, vl)
+    assert last_loss < first_loss, (first_loss, last_loss)
     assert stats["ccc"] > min_ccc, stats
