@@ -95,6 +95,14 @@ def _on_tpu() -> bool:
         return False
 
 
+def interpret_default() -> bool:
+    """Resolved default for pallas_call(interpret=...): compiled on real
+    TPU hardware (both the native 'tpu' and the tunneled 'axon' backend
+    names), interpret mode everywhere else — so force-dispatched kernels
+    (tests, golden generation) work on CPU instead of raising."""
+    return not _on_tpu()
+
+
 def pallas_enabled(kind: str | None = None) -> bool:
     """Whether the Pallas kernel of the given kind should dispatch."""
     if not _on_tpu():

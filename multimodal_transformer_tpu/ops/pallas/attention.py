@@ -56,8 +56,11 @@ def _kernel(q_ref, k_ref, v_ref, kmask_ref, out_ref, *, blk_k: int,
 
 
 def flash_attention_masked(q, k, v, kmask, *, blk_q: int = 128,
-                           blk_k: int = 128, interpret: bool = False):
+                           blk_k: int = 128, interpret: bool | None = None):
     """q,k,v: [BH, T, dk]; kmask: [BH, T].  Returns [BH, Tq, dk]."""
+    if interpret is None:
+        from ..dispatch import interpret_default
+        interpret = interpret_default()
     BH, Tq, dk = q.shape
     Tk = k.shape[1]
     kmask = kmask.astype(jnp.float32)  # robust compare dtype in-kernel

@@ -162,12 +162,15 @@ def _pick_tile_b(B: int, T: int, D: int) -> int:
 def encoder_stack_fused(params, x, mask, *, h: int = 8,
                         tile_b: int | None = None,
                         av_group: int | None = None,
-                        interpret: bool = False):
+                        interpret: bool | None = None):
     """Fused key_query-mode encoder stack.  x: [B, T, D]; mask: [B, T, 1].
 
     Returns [B, T, D] matching ops.attention.encoder_stack(...,
     mask_mode="key_query", rng=None) on valid (mask==1) positions; padded
     positions hold finite garbage exactly like the jnp path's."""
+    if interpret is None:
+        from ..dispatch import interpret_default
+        interpret = interpret_default()
     B, T0, D = x.shape
     n_layers = len(params["layers"])
     if D % h:
@@ -995,4 +998,5 @@ encoder_stack_fused_train.defvjp(_train_fwd_rule, _train_bwd_rule)
 
 def _train_interpret() -> bool:
     """The train path runs in interpret mode off-TPU (CPU tests)."""
-    return jax.default_backend() not in ("tpu", "axon")
+    from ..dispatch import interpret_default
+    return interpret_default()

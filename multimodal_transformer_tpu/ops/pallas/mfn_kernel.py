@@ -142,12 +142,15 @@ def _mfn_kernel(mods: Sequence[str], hidden: Dict[str, int], mem_dim: int,
     mem_out[0] = mem_new.astype(mem_out.dtype)
 
 
-def mfn_scan_pallas(params, inputs, mods, *, interpret: bool = False):
+def mfn_scan_pallas(params, inputs, mods, *, interpret: bool | None = None):
     """Drop-in for ops.mfn_core.mfn_scan's recurrence (eval mode).
 
     inputs: dict mod -> [B, T, D_mod].  Returns (all_hs [B, T, total_h],
     all_mems [B, T, MEM_DIM]) — the output head is applied by the caller.
     """
+    if interpret is None:
+        from ..dispatch import interpret_default
+        interpret = interpret_default()
     first = inputs[mods[0]]
     B, T = first.shape[0], first.shape[1]
     dtype = first.dtype
@@ -356,9 +359,13 @@ def _mfn_kernel_packed(hs: Sequence[int], mem_dim: int, h_att2: int,
     mem_out[0] = mem_new.astype(mem_out.dtype)
 
 
-def mfn_scan_pallas_packed(params, inputs, mods, *, interpret: bool = False):
+def mfn_scan_pallas_packed(params, inputs, mods, *,
+                           interpret: bool | None = None):
     """Packed-matmul full-recurrence kernel (5 dots/step vs 9).  Same
     contract as mfn_scan_pallas."""
+    if interpret is None:
+        from ..dispatch import interpret_default
+        interpret = interpret_default()
     first = inputs[mods[0]]
     B, T = first.shape[0], first.shape[1]
     dtype = first.dtype
@@ -524,9 +531,12 @@ def _mfn_kernel_aligned(n_mods: int, *refs):
 
 
 def mfn_scan_pallas_aligned(params, inputs, mods, *,
-                            interpret: bool = False):
+                            interpret: bool | None = None):
     """Gate-aligned full-recurrence kernel.  Returns (all_hs [B, T, total_h]
     — real lanes only — and all_mems [B, T, MEM_DIM])."""
+    if interpret is None:
+        from ..dispatch import interpret_default
+        interpret = interpret_default()
     first = inputs[mods[0]]
     B, T = first.shape[0], first.shape[1]
     dtype = first.dtype

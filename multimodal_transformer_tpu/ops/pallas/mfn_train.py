@@ -567,9 +567,9 @@ mfn_states_fused_train.defvjp(_train_fwd_rule, _train_bwd_rule)
 
 
 def _interpret() -> bool:
-    # The production TPU backend registers as "axon" behind the HTTP
-    # tunnel; treating it as non-TPU would silently run every fused MFN
-    # training step in (slow) interpret mode.  Keep in sync with
-    # dispatch._TPU_BACKENDS.
-    import jax as _jax
-    return _jax.default_backend() not in ("tpu", "axon")
+    # Single source of truth for the backend check (dispatch._TPU_BACKENDS
+    # covers both the native 'tpu' and the tunneled 'axon' name — treating
+    # axon as non-TPU silently ran these kernels in interpret mode on the
+    # production device).
+    from ..dispatch import interpret_default
+    return interpret_default()

@@ -62,9 +62,12 @@ def _kernel(x_ref, kcat_ref, bias_ref, wp_ref, bp_ref, wg_ref, bg_ref,
 
 def fused_window_embed_highway(conv_params, highway_params, x, *,
                                relu_proj: bool = False,
-                               tile_n: int = None, interpret: bool = False):
+                               tile_n: int = None, interpret: bool | None = None):
     """x: [B, W, F, D] -> [B, W, E].  Weights in torch layout
     (conv weight [E, D, 2]; highway linears [E, E])."""
+    if interpret is None:
+        from ..dispatch import interpret_default
+        interpret = interpret_default()
     if relu_proj:
         raise NotImplementedError(
             "B1 relu-proj highway uses the jnp path")  # rare; jnp fallback
