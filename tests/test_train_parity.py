@@ -1,25 +1,50 @@
-"""Training-dynamics parity: N full optimization steps (forward + backward +
-torch-Adam with coupled weight decay) must track a torch replica bit-closely
-when started from identical weights on identical batches.
+"""Training-dynamics parity vs a torch replica (VERDICT r2 #1).
 
-This closes the loop beyond forward parity: gradients, the loss scaling
-(sum-MSE / sum(lengths), reference MFT/train.py:135-139), and the optimizer
-update all agree, so training curves are comparable up to dropout RNG
-(disabled here; documented difference in PARITY.md).
+Two layers of evidence, both starting from identical weights on identical
+batches with dropout off (rng=None; the documented RNG-placement
+difference in PARITY.md only affects dropout streams):
+
+1. test_five_train_steps_track_torch — ALL FIVE families: 5 full
+   optimization steps (forward + backward + torch-Adam with coupled weight
+   decay, loss = sum-MSE / sum(lengths), reference MFT/train.py:135-139)
+   must track the torch replica bit-closely: losses to ~1e-4, final
+   params elementwise.  Covers the gradients the forward-parity tests
+   can't see: through the MFN scan (MFT/multiTransformer.py:200-235),
+   the stepwise LSTM decoders, and the B1 local-attention head.
+
+2. test_epoch_trajectory_tracks_torch — a longer horizon on the synthetic
+   SENDv1 fixture: multiple epochs of reference-semantics batches
+   (shuffled make_batches, identical batch streams) where the per-epoch
+   loss AND the per-epoch valid-split mean CCC trajectories must agree
+   with the torch replica within fp32 tolerance.  This is the in-env
+   proxy for the unrunnable real-data gate (reference train loop:
+   MFT/train.py:110-155).
 """
 
 import numpy as np
 import pytest
 import torch
-import torch.nn.functional as F
 
 import jax
 import jax.numpy as jnp
 
+import torch_oracle as oracle
+from multimodal_transformer_tpu.data import (generate_synthetic_send,
+                                             load_send, window_pipeline)
+from multimodal_transformer_tpu.data.batching import make_batches
 from multimodal_transformer_tpu.engine.optim import adam_init, adam_update
 from multimodal_transformer_tpu.models import build_model, default_config
+from multimodal_transformer_tpu.ops.metrics import ccc
 
 SMALL_DIMS = {"linguistic": 10, "acoustic": 8, "image": 10, "emotient": 6}
+
+FAMILY_CASES = [
+    ("MFT", ("acoustic", "linguistic")),       # per-mod encoders + MFN scan
+    ("SFT", ("image", "linguistic")),          # fusion + LSTM-decoder head
+    ("B1-LSTM", ("linguistic",)),              # local-attn LSTM head
+    ("B2-Trans", ("image", "linguistic")),     # encoder + linear head
+    ("B3-MFN", ("acoustic", "linguistic")),    # embed + MFN scan
+]
 
 
 def torch_param_tree(params):
@@ -30,71 +55,22 @@ def torch_param_tree(params):
                                   is_leaf=lambda x: hasattr(x, "shape"))
 
 
-def t_lin(p, x):
-    return F.linear(x, p["weight"], p["bias"])
+def _torch_adam(tp, lr):
+    leaves = [l for l in jax.tree_util.tree_leaves(
+        tp, is_leaf=lambda x: isinstance(x, torch.nn.Parameter))]
+    return torch.optim.Adam(leaves, lr=lr, weight_decay=1e-4)
 
 
-def t_norm(p, x, eps=1e-6):
-    mean = x.mean(-1, keepdim=True)
-    std = x.std(-1, keepdim=True)
-    return p["a_2"] * (x - mean) / (std + eps) + p["b_2"]
-
-
-def torch_b2_forward(tp, mods, inputs, mask):
-    """B2-Trans forward in torch on the Parameter tree (eval-mode math,
-    reference pipeline: CNN+Highway -> concat -> UniFullTransformer)."""
-    outs = []
-    for mod in mods:
-        x = torch.from_numpy(inputs[mod])  # [B, W, F, D]
-        B, W, Fr, D = x.shape
-        conv_p = tp[f"cnn_{mod}"]["conv1d"]
-        xc = x.reshape(B * W, Fr, D).permute(0, 2, 1)
-        c = F.conv1d(xc, conv_p["weight"], conv_p["bias"])
-        pooled = F.max_pool1d(c, c.shape[2]).squeeze(2)
-        hw = tp[f"highway_{mod}"]
-        proj = t_lin(hw["linear_projection"], pooled)
-        gate = torch.sigmoid(t_lin(hw["linear_gate"], pooled))
-        out = gate * proj + (1 - gate) * pooled
-        outs.append(out.reshape(B, W, -1))
-    fused = torch.cat(outs, dim=2)
-    head = tp["Transformer"]
-    e = t_lin(head["embed"], fused)
-    mt = torch.from_numpy(mask)
-    h = 8
-    for layer in head["encoder"]["layers"]:
-        normed = t_norm(layer["sublayer"][0]["norm"], e)
-        Bq, T, Dm = normed.shape
-        d_k = Dm // h
-        lins = layer["self_attn"]["linears"]
-        q = t_lin(lins[0], normed).view(Bq, -1, h, d_k).transpose(1, 2)
-        k = t_lin(lins[1], normed).view(Bq, -1, h, d_k).transpose(1, 2)
-        v = t_lin(lins[2], normed).view(Bq, -1, h, d_k).transpose(1, 2)
-        scores = torch.matmul(q, k.transpose(-2, -1)) / np.sqrt(d_k)
-        scores = scores.masked_fill(mt.unsqueeze(1) == 0, -1e9)
-        attn = F.softmax(scores, dim=-1)
-        ao = torch.matmul(attn, v).transpose(1, 2).contiguous().view(
-            Bq, -1, Dm)
-        e = e + t_lin(lins[3], ao)
-        normed = t_norm(layer["sublayer"][1]["norm"], e)
-        ff = layer["feed_forward"]
-        e = e + t_lin(ff["w_2"], F.relu(t_lin(ff["w_1"], normed)))
-    enc = t_norm(head["encoder"]["norm"], e)
-    pred = t_lin(head["out_fc2"], F.relu(t_lin(head["out_fc1"], enc)))
-    return pred * mt
-
-
-def test_five_train_steps_track_torch():
-    mods = ("acoustic", "linguistic")
-    cfg = default_config("B2-Trans", mods)
+@pytest.mark.parametrize("family,mods", FAMILY_CASES)
+def test_five_train_steps_track_torch(family, mods):
+    cfg = default_config(family, mods)
     object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
     init, apply = build_model(cfg)
     params = init(jax.random.PRNGKey(0))
     opt_state = adam_init(params)
 
     tp = torch_param_tree(params)
-    leaves = [l for l in jax.tree_util.tree_leaves(
-        tp, is_leaf=lambda x: isinstance(x, torch.nn.Parameter))]
-    topt = torch.optim.Adam(leaves, lr=1e-3, weight_decay=1e-4)
+    topt = _torch_adam(tp, 1e-3)
 
     rs = np.random.RandomState(0)
     B, T, Fr = 3, 6, 3
@@ -103,6 +79,7 @@ def test_five_train_steps_track_torch():
     for i, ln in enumerate(lengths):
         mask[i, :ln] = 1.0
     target = (rs.rand(B, T, 1).astype(np.float32) * mask)
+    mt = torch.from_numpy(mask)
 
     lr = jnp.asarray(1e-3)
     losses_j, losses_t = [], []
@@ -123,7 +100,7 @@ def test_five_train_steps_track_torch():
         losses_j.append(float(lj))
 
         # --- torch step
-        pred_t = torch_b2_forward(tp, mods, inputs, mask)
+        pred_t = oracle.t_family_forward(tp, family, mods, inputs, mt)
         lt = ((pred_t - torch.from_numpy(target)) ** 2).sum() / sum(lengths)
         lt.backward()
         topt.step()
@@ -137,4 +114,100 @@ def test_five_train_steps_track_torch():
             jax.tree_util.tree_leaves_with_path(
                 tp, is_leaf=lambda x: isinstance(x, torch.nn.Parameter))):
         np.testing.assert_allclose(np.asarray(a), b.detach().numpy(),
-                                   rtol=5e-3, atol=2e-4, err_msg=str(kj))
+                                   rtol=5e-3, atol=2e-4,
+                                   err_msg=f"{family} {kj}")
+
+
+# ------------------------------------------------- longer-horizon trajectory
+
+@pytest.fixture(scope="module")
+def fixture_tree(tmp_path_factory):
+    d = tmp_path_factory.mktemp("send_trainpar")
+    dims = dict(SMALL_DIMS, emotient=20)  # fixture requires AU dim 20
+    generate_synthetic_send(str(d), {"Train": 6, "Valid": 3},
+                            duration_s=24.0, dims=dims, seed=4)
+    return str(d)
+
+
+@pytest.mark.parametrize("family,mods", [
+    ("MFT", ("acoustic", "linguistic")),   # flagship: encoders + MFN grads
+    ("SFT", ("image", "linguistic")),      # LSTM-decoder head grads
+])
+def test_epoch_trajectory_tracks_torch(fixture_tree, family, mods):
+    """4 epochs of reference-semantics training on the synthetic fixture:
+    per-epoch loss and valid mean-CCC trajectories track torch within fp32
+    tolerance.  (The remaining families' optimization paths are covered by
+    the 5-step test above; these two carry the recurrence risk.)"""
+    epochs, lr_f = 4, 1e-3
+    cfg = default_config(family, mods)
+    object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
+    ds = load_send(list(mods), fixture_tree, "Train")
+    tx, ty, tl = window_pipeline(ds, cfg.window_size, cfg.modalities,
+                                 cfg.mod_dimension)
+    ds = load_send(list(mods), fixture_tree, "Valid")
+    vx, vy, vl = window_pipeline(ds, cfg.window_size, cfg.modalities,
+                                 cfg.mod_dimension)
+
+    init, apply = build_model(cfg)
+    params = init(jax.random.PRNGKey(7))
+    opt_state = adam_init(params)
+    tp = torch_param_tree(params)
+    topt = _torch_adam(tp, lr_f)
+    lr = jnp.asarray(lr_f)
+
+    traj_j, traj_t = [], []
+    ccc_j, ccc_t = [], []
+    for epoch in range(epochs):
+        # IDENTICAL batch stream for both replicas: one materialized list
+        batches = list(make_batches(tx, ty, tl, batch_size=3, shuffle=True,
+                                    rng=np.random.RandomState(100 + epoch)))
+        lsum_j = lsum_t = denom = 0.0
+        for b in batches:
+            n = float(sum(b.lengths))
+            # jax step: sum-MSE / sum(lengths) (reference train.py:135-139)
+            def loss_fn(p, b=b):
+                pred = apply(p, {m: jnp.asarray(v)
+                                 for m, v in b.data.items()},
+                             jnp.asarray(b.mask), rng=None)
+                d = pred - jnp.asarray(b.target)
+                return jnp.sum(d * d) / n
+            lj, grads = jax.value_and_grad(loss_fn)(params)
+            params, opt_state = adam_update(params, grads, opt_state, lr,
+                                            weight_decay=1e-4)
+            # torch step
+            pred_t = oracle.t_family_forward(tp, family, mods, b.data,
+                                             torch.from_numpy(b.mask))
+            lt = ((pred_t - torch.from_numpy(b.target)) ** 2).sum() / n
+            lt.backward()
+            topt.step()
+            topt.zero_grad()
+            lsum_j += float(lj) * n
+            lsum_t += float(lt) * n
+            denom += n
+        traj_j.append(lsum_j / denom)
+        traj_t.append(lsum_t / denom)
+
+        # per-epoch eval: per-video (bs=1) mean CCC, both replicas
+        cj, ct = [], []
+        for b in make_batches(vx, vy, vl, batch_size=1, shuffle=False):
+            pj = apply(params, {m: jnp.asarray(v)
+                                for m, v in b.data.items()},
+                       jnp.asarray(b.mask), rng=None)
+            with torch.no_grad():
+                pt = oracle.t_family_forward(tp, family, mods, b.data,
+                                             torch.from_numpy(b.mask))
+            t = b.target.reshape(-1)
+            cj.append(ccc(t, np.asarray(pj).reshape(-1)))
+            ct.append(ccc(t, pt.numpy().reshape(-1)))
+        ccc_j.append(float(np.mean(cj)))
+        ccc_t.append(float(np.mean(ct)))
+
+    # fp32 accumulation differences compound over epochs; a systematic
+    # divergence (semantics bug) blows these bounds immediately, epsilon
+    # drift does not.
+    np.testing.assert_allclose(traj_j, traj_t, rtol=2e-3,
+                               err_msg=f"{family} loss trajectory")
+    np.testing.assert_allclose(ccc_j, ccc_t, atol=2e-3,
+                               err_msg=f"{family} eval CCC trajectory")
+    # and training must have actually moved: the trajectory is non-trivial
+    assert traj_j[-1] < traj_j[0], (family, traj_j)

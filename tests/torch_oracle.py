@@ -12,6 +12,11 @@ import torch.nn.functional as F
 
 
 def _t(x):
+    # passthrough for torch tensors/Parameters: lets every oracle below run
+    # DIFFERENTIABLY on a torch Parameter tree (training-dynamics parity
+    # tests) while still accepting jax/numpy leaves (forward parity tests)
+    if isinstance(x, torch.Tensor):
+        return x
     return torch.from_numpy(np.asarray(x))
 
 
@@ -176,3 +181,42 @@ def t_mfn(p, inputs, mods, hidden_dim, mem_dim):
         outs.append(t_linear(p["out_fc2"],
                              F.relu(t_linear(p["out_fc1"], feats))).unsqueeze(1))
     return torch.cat(outs, dim=1)
+
+
+def t_family_forward(params, family, mods, inputs, mask):
+    """Full family forward (eval-mode math, reference pipelines SURVEY §2.4).
+
+    Differentiable when `params` is a tree of torch Parameters (training-
+    dynamics parity); also accepts jax/numpy-leaf trees (forward parity).
+    inputs: dict mod -> np [B, W, F, D]; mask: torch [B, T, 1]."""
+    mods = tuple(mods)
+    if family == "B1-LSTM":
+        fronts = t_frontend(params, inputs, mods, relu_proj=True)
+        fused = torch.cat([fronts[m] for m in mods], dim=2)
+        return t_multi_lstm(params["LSTM"], fused, mask)
+    fronts = t_frontend(params, inputs, mods)
+    if family == "B2-Trans":
+        fused = torch.cat([fronts[m] for m in mods], dim=2)
+        return t_uni_full_transformer(params["Transformer"], fused, mask)
+    if family == "SFT":
+        if len(mods) == 1:
+            return t_uni_transformer(params["Transformer"], fronts[mods[0]],
+                                     mask)
+        fused = torch.cat([fronts[m] for m in mods], dim=2)
+        fused = torch.tanh(t_linear(params["fusionLayer"], fused))
+        return t_uni_transformer(params["Transformer"], fused, mask,
+                                 embed_is_mlp=True)
+    if family not in ("MFT", "B3-MFN"):
+        raise ValueError(family)
+    if len(mods) == 1:
+        return t_uni_transformer(params["Transformer"], fronts[mods[0]],
+                                 mask)
+    from multimodal_transformer_tpu.ops.mfn_core import HIDDEN_DIM, MEM_DIM
+    head = params["Transformer"]
+    mfn_in = {}
+    for m in mods:
+        e = t_linear(head[f"embed_{m}"], fronts[m])
+        if family == "MFT":
+            e = t_encoder(head[f"transformer_{m}"], e, mask)
+        mfn_in[m] = e
+    return t_mfn(head["mfn"], mfn_in, mods, HIDDEN_DIM, MEM_DIM) * mask
