@@ -15,6 +15,12 @@ Dropout impl A/B (v5e, same session, this script): threefry 32.6 ms/step
 vs hash 17.6 ms/step (1.86x) — set MMTX_DROPOUT_IMPL=threefry|hash to
 reproduce (default hash, ops/basic.py).
 
+Dropout-OFF mixed floor (v5e, same session, jnp paths MMTX_PALLAS=0):
+dropout ON 14.496 vs OFF 12.743 ms/step — the TOTAL dropout cost (fmix32
+mask gen + apply, fwd+bwd, all sites) is ~1.75 ms/step, which bounds the
+remaining mask-generation lever on the kernel path (where the encoder/MFN
+train kernels already generate their masks in-VMEM) to well under that.
+
 Usage: python examples/bench_train.py [--fp32] [--batch 32]
 """
 from __future__ import annotations

@@ -401,6 +401,20 @@ def _blockdiag_stack(slab, g: int, T: int, d_k: int):
     return jnp.where(rb == lb, rep, jnp.zeros((), rep.dtype))
 
 
+def _blockdiag_stack_tile(slab, tile_b: int, g: int, T: int, d_k: int):
+    """[tile_b*T, g*d_k] group slab -> [tile_b*g*T, g*d_k]: per-video
+    block-diagonal stacks (_blockdiag_stack), built in ONE vectorized
+    broadcast+select over the whole batch tile instead of per video inside
+    an issue-bound loop.  Video b's stack is rows [b*g*T, (b+1)*g*T)."""
+    gd = g * d_k
+    gT = tile_b * g * T
+    rep = jnp.broadcast_to(slab.reshape(tile_b, 1, T, gd),
+                           (tile_b, g, T, gd)).reshape(gT, gd)
+    rb = jax.lax.broadcasted_iota(jnp.int32, (gT, gd), 0) // T % g
+    lb = jax.lax.broadcasted_iota(jnp.int32, (gT, gd), 1) // d_k
+    return jnp.where(rb == lb, rep, jnp.zeros((), rep.dtype))
+
+
 def _attention_tile(qkv_s, kmask_ref, *, tile_b, T, D, h,
                     av_group, inv_sqrt_dk, tile_i=None, T0=None,
                     seed0=None, dropout_p=0.0, cdt=jnp.bfloat16,
@@ -431,18 +445,43 @@ def _attention_tile(qkv_s, kmask_ref, *, tile_b, T, D, h,
     Returns the [R, D] concatenated head outputs (fp32)."""
     d_k = D // h
     g = av_group
+    # MMTX_ENC_SCORE=bdq: score dots as block-diagonal-q group dots with
+    # the stacks built ONCE per tile at the qkv read (vectorized over all
+    # videos), not per video inside the loop (the -19% round-2 attempt).
+    # Per group: q_bd [g*T, g*d_k] block-diag rows x k_g [T, g*d_k] dense
+    # lanes -> [g*T, T] per-head scores in the packed sublane layout the
+    # softmax already wants.  Contraction depth g*d_k=128 (vs d_k=32
+    # wasting 3/4 of the MXU's contraction rows), exact M=g*T sublane
+    # tiling (5x128 vs per-head 160 -> 2 padded tiles), and h/g dot
+    # issues per video instead of h.  Zeros in the stack contribute exact
+    # fp32 zeros, so scores are BIT-IDENTICAL to the per-head path.
+    bdq = os.environ.get("MMTX_ENC_SCORE", "perhead") == "bdq" and g > 1
+    if bdq:
+        gd = g * d_k
+        qbd = [_blockdiag_stack_tile(qkv_s[:, grp * gd:(grp + 1) * gd],
+                                     tile_b, g, T, d_k)
+               for grp in range(h // g)]
     outs_rows = []
     for b in range(tile_b):
         rows = slice(b * T, (b + 1) * T)
         km = kmask_ref[0, b:b + 1, :]
         qkvb = qkv_s[rows, :]
         parts = []
-        for head in range(h):
-            q = qkvb[:, head * d_k:(head + 1) * d_k]
-            k = qkvb[:, D + head * d_k:D + (head + 1) * d_k]
-            parts.append(jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
+        if bdq:
+            for grp in range(h // g):
+                gd = g * d_k
+                kg = qkvb[:, D + grp * gd:D + (grp + 1) * gd]
+                parts.append(jax.lax.dot_general(
+                    qbd[grp][b * g * T:(b + 1) * g * T, :], kg,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))   # [g*T, T]
+        else:
+            for head in range(h):
+                q = qkvb[:, head * d_k:(head + 1) * d_k]
+                k = qkvb[:, D + head * d_k:D + (head + 1) * d_k]
+                parts.append(jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
         s = jnp.concatenate(parts, axis=0)                 # [h*T, T]
         if not prescaled_q:
             s = s * inv_sqrt_dk
@@ -661,6 +700,20 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
     # dot + softmax + mask generation (this backward is issue-bound, not
     # MXU-bound, in bf16 — fewer issues is the whole game).
     g = av_group
+    # MMTX_ENC_SCORE=bdq: the per-video q/do block-diag stack builds move
+    # out of the issue-bound loop into two vectorized tile-wide builds per
+    # group (_blockdiag_stack_tile) — same elementwise work, 2*tile_b x
+    # fewer VPU issue sites; bit-identical values.
+    bdq = (os.environ.get("MMTX_ENC_SCORE", "perhead") == "bdq"
+           and g > 1)
+    if bdq:
+        gd = g * d_k
+        qst_all = [_blockdiag_stack_tile(qkv_s[:, grp * gd:(grp + 1) * gd],
+                                         tile_b, g, T, d_k)
+                   for grp in range(h // g)]
+        dost_all = [_blockdiag_stack_tile(
+            xn2_s[:, grp * gd:(grp + 1) * gd], tile_b, g, T, d_k)
+            for grp in range(h // g)]
     for b in range(tile_b):
         rows = slice(b * T, (b + 1) * T)
         qkvb = qkv_s[rows, :]
@@ -670,7 +723,11 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
             c0, c1 = grp * g * d_k, (grp + 1) * g * d_k
             kg = qkvb[:, D + c0:D + c1]                    # [T, g*d_k]
             vg = qkvb[:, 2 * D + c0:2 * D + c1]
-            if g == 1:
+            if bdq:
+                gr = slice(b * g * T, (b + 1) * g * T)
+                qstack = qst_all[grp][gr, :]
+                dostack = dost_all[grp][gr, :]
+            elif g == 1:
                 qstack = qkvb[:, c0:c1]
                 dostack = dob[:, c0:c1]
             else:

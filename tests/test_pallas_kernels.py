@@ -416,6 +416,51 @@ def test_encoder_stack_fused_av_groups_exact(av_group):
                                atol=2e-5)
 
 
+def test_encoder_stack_fused_bdq_scores_bit_exact(monkeypatch):
+    """MMTX_ENC_SCORE=bdq (block-diagonal-q score dots, stacks built once
+    per tile at the qkv read) must be BIT-identical to the per-head score
+    path: the stack's zero lanes contribute exact fp32 zeros to the
+    128-deep contraction."""
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        encoder_stack_fused)
+
+    h = 8
+    params, x, mask, _ = _enc_setup(7, 5, 37, 64, 3, h)
+    ref = encoder_stack_fused(params, x, mask, h=h, interpret=True,
+                              tile_b=2)
+    monkeypatch.setenv("MMTX_ENC_SCORE", "bdq")
+    got = encoder_stack_fused(params, x, mask, h=h, interpret=True,
+                              tile_b=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_encoder_train_kernel_bdq_grads_bit_exact(_hash_dropout,
+                                                  monkeypatch):
+    """bdq hoisting in the fused train fwd + per-layer bwd must leave loss
+    and every grad leaf BIT-identical (zeros in the stacks are exact)."""
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        dropout_seed_table, encoder_stack_fused_train)
+
+    h = 8
+    params, x, mask, _ = _enc_setup(17, 4, 21, 64, 2, h)
+    rng = jax.random.PRNGKey(9)
+    seeds = dropout_seed_table(rng, 2)
+    g = jnp.asarray(np.random.RandomState(4).randn(*x.shape)
+                    .astype(np.float32)) * mask
+
+    def loss(layers):
+        y = encoder_stack_fused_train(layers, x, mask, h, 0.3, seeds)
+        return jnp.sum(y * g)
+
+    ref_l, ref_g = jax.value_and_grad(loss)(params["layers"])
+    monkeypatch.setenv("MMTX_ENC_SCORE", "bdq")
+    got_l, got_g = jax.value_and_grad(loss)(params["layers"])
+    np.testing.assert_array_equal(np.asarray(got_l), np.asarray(ref_l))
+    for a, b in zip(jax.tree_util.tree_leaves(got_g),
+                    jax.tree_util.tree_leaves(ref_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mfn_kernel_dispatch_grad_parity(monkeypatch):
     """Dropout-free training (rng=None under value_and_grad) dispatches
     the MFN kernel; its remat custom_vjp must reproduce the jnp scan's
