@@ -195,6 +195,98 @@ def measure_tpu(n_chain=(10, 40), n_timed=3, batch=None):
     return seq_per_s, mfu, flops_per_batch, str(dev)
 
 
+def measure_train(n_chain=(10, 60), batch=None):
+    """Training-step time on the production recipe (mixed precision, all
+    default kernels, dropout ON, hash impl) — the examples/bench_train.py
+    methodology: steps chain NATURALLY (step i+1 consumes step i's params +
+    opt state) in a lax.scan, per-step time is the slope between two scan
+    lengths, timing is by host fetch.  Returns (ms_per_step, train_mfu,
+    flops_per_step).  train_mfu is against the bf16 peak (the matmuls run
+    bf16 under the mixed recipe; fp32 master params/optimizer)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from multimodal_transformer_tpu.engine.optim import adam_init, adam_update
+    from multimodal_transformer_tpu.models import build_model, default_config
+
+    B = batch or BATCH
+    cfg = default_config("MFT", MODS, mask_mode="key_query")
+    init_fn, apply_fn = build_model(cfg)
+    params = init_fn(jax.random.PRNGKey(1))
+    opt_state = adam_init(params)
+    rs = np.random.RandomState(0)
+    data = {m: jnp.asarray(rs.randn(B, T, FRAMES[m], cfg.mod_dimension[m])
+                           .astype(np.float32)).astype(jnp.bfloat16)
+            for m in MODS}
+    target = jnp.asarray(rs.randn(B, T, 1).astype(np.float32))
+    mask_np = np.zeros((B, T, 1), np.float32)
+    for i in range(B):
+        mask_np[i, :T - (i % 5)] = 1.0
+    mask = jnp.asarray(mask_np)
+    denom = jnp.asarray(mask_np.sum())
+
+    def one_step(dtm, carry, key):
+        data, target, mask, denom = dtm
+        params, opt_state = carry
+
+        def loss_fn(p):
+            # mixed recipe: bf16 compute, fp32 masters (grads flow through
+            # the cast and arrive fp32 at the master params)
+            p = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), p)
+            pred = apply_fn(p, data, mask, rng=key)
+            d = pred - target
+            return jnp.sum((d * d).astype(jnp.float32)) / denom
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = adam_update(params, grads, opt_state, 1e-4,
+                                        weight_decay=1e-4)
+        return (params, opt_state), loss
+
+    dtm = (data, target, mask, denom)
+
+    def make(n):
+        def prog(params, opt_state, key, dtm):
+            keys = jax.random.split(key, n)
+            (params, opt_state), losses = lax.scan(
+                functools.partial(one_step, dtm), (params, opt_state), keys)
+            return params, opt_state, losses[-1]
+        return jax.jit(prog, donate_argnums=(0, 1))
+
+    flops = None
+    try:
+        c = make(1).lower(params, opt_state, jax.random.PRNGKey(0),
+                          dtm).compile()
+        ca = c.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        if ca and ca.get("flops"):
+            flops = float(ca["flops"])
+    except Exception:
+        pass
+
+    n1, n2 = n_chain
+    times = {}
+    state = (params, opt_state)
+    for n in (n1, n2):
+        prog = make(n).lower(*state, jax.random.PRNGKey(0), dtm).compile()
+        p2, o2, loss = prog(*state, jax.random.PRNGKey(0), dtm)
+        np.asarray(loss)  # warmup + fetch
+        state = (p2, o2)
+        best = float("inf")
+        for r in range(3):
+            t0 = time.perf_counter()
+            p2, o2, loss = prog(*state, jax.random.PRNGKey(r + 1), dtm)
+            np.asarray(loss)
+            best = min(best, time.perf_counter() - t0)
+            state = (p2, o2)
+        times[n] = best
+    per_step = (times[n2] - times[n1]) / (n2 - n1)
+    mfu = flops / per_step / V5E_BF16_PEAK if flops else None
+    return per_step * 1e3, mfu, flops
+
+
 def measure_cpu_baseline(n_iter=2):
     """Reference-structure computation in torch on CPU (same shapes)."""
     import torch
@@ -275,6 +367,17 @@ def main():
     if mfu is not None:
         line["mfu"] = round(mfu, 4)
         line["flops_per_seq"] = round(flops_per_batch / B)
+    # training-path metrics in the same line (VERDICT r3 #3) so a flat
+    # round can't hide behind the eval number; production recipe (mixed +
+    # default kernels, dropout ON).  MMTX_BENCH_TRAIN=0 skips (eval-only).
+    if os.environ.get("MMTX_BENCH_TRAIN", "1") != "0":
+        try:
+            train_ms, train_mfu, _ = measure_train(batch=B)
+            line["train_ms_per_step"] = round(train_ms, 3)
+            if train_mfu is not None:
+                line["train_mfu"] = round(train_mfu, 4)
+        except Exception as e:  # train bench must never zero the eval metric
+            line["train_error"] = f"{type(e).__name__}: {e}"[:200]
     line["device"] = dev
     print(json.dumps(line))
 

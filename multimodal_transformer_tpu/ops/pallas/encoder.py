@@ -29,9 +29,14 @@ what lets the wrapper pad T to a sublane multiple and B to the tile size.
 The reference-quirk "query" mode depends on padding amounts by design and
 stays on the jnp path (it is the bs=1 parity path, never the perf path).
 
-Eval + dropout-free training (custom_vjp below rematerializes the backward
-through the jnp encoder_stack, like window_embed.py); training with
-dropout keeps the jnp path — same gating as the flash kernel.
+Three entry points (gating in ops/attention.py encoder_stack):
+  * encoder_stack_fused — eval forward (this kernel);
+  * encoder_stack_fused_trainable — dropout-free training: Pallas forward,
+    backward rematerialized through the jnp encoder_stack (custom_vjp);
+  * encoder_stack_fused_train — dropout training (round 2+): Pallas forward
+    with IN-KERNEL fmix32 hash dropout + per-layer fused Pallas backward
+    (_bwd_kernel), dispatched at both fp32 and bf16/mixed.  The round-1
+    statement "training with dropout keeps the jnp path" is superseded.
 """
 
 from __future__ import annotations
@@ -143,7 +148,18 @@ def _pack_weights(params, dtype):
     }
 
 
-def _pick_tile_b(B: int, T: int, D: int) -> int:
+def _bdq_extra(g: int, n_stacks: int) -> int:
+    """Extra live cdt elements per video the MMTX_ENC_SCORE=bdq layout
+    keeps in VMEM, in units of T*D (ADVICE r3): each head-group's
+    block-diagonal stack is [g*T, g*d_k] -> summed over h/g groups that is
+    g*T*D elements; the forward builds 1 stack family (q), the backward 2
+    (q + do).  0 when bdq is off or single-group (the stacks degenerate)."""
+    if g > 1 and os.environ.get("MMTX_ENC_SCORE", "perhead") == "bdq":
+        return n_stacks * g
+    return 0
+
+
+def _pick_tile_b(B: int, T: int, D: int, extra_cdt: int = 0) -> int:
     # fp32 carry + cdt qkv/attn scratches + weight/in/out double buffers
     # must fit ~12 MB of the 16 MB VMEM; per-video bytes dominate at 4*T*D
     # (carry) + 2*T*3D (qkv) + 2*T*D (attn) + 2*T*D (in/out blocks).
@@ -151,7 +167,9 @@ def _pick_tile_b(B: int, T: int, D: int) -> int:
     # larger tiles would only cut weight re-streaming, which is already
     # negligible (~4 MB/layer-pass ≈ 20 us of HBM time total) — the kernel
     # sits at ~65% of its FLOP roofline, the rest is softmax/LN VPU work.
-    per_b = T * D * (4 + 6 + 2 + 4)
+    # extra_cdt: additional live cdt elements per video in T*D units
+    # (the bdq score-stack buffers, _bdq_extra).
+    per_b = T * D * (4 + 6 + 2 + 4 + 2 * extra_cdt)
     budget = 9 * 1024 * 1024
     tb = max(1, min(8, budget // per_b))
     while B % tb and tb > 1:        # avoid padding when a divisor is close
@@ -175,10 +193,17 @@ def encoder_stack_fused(params, x, mask, *, h: int = 8,
     n_layers = len(params["layers"])
     if D % h:
         raise ValueError(f"D={D} not divisible by h={h}")
+    d_k = D // h
+    if av_group is None:
+        # full 128 output lanes at the least over-compute (the packed
+        # p@v dot costs av_group x the per-head FLOPs)
+        av_group = max(1, min(h, 128 // d_k))
+    while h % av_group:
+        av_group -= 1
     pad_t = (-T0) % 8
     T = T0 + pad_t
     if tile_b is None:
-        tile_b = _pick_tile_b(B, T, D)
+        tile_b = _pick_tile_b(B, T, D, extra_cdt=_bdq_extra(av_group, 1))
     pad_b = (-B) % tile_b
     Bp = B + pad_b
 
@@ -197,13 +222,6 @@ def encoder_stack_fused(params, x, mask, *, h: int = 8,
         return pl.BlockSpec((1,) + block, lambda b, l: (l,) + (0,) * len(block),
                             memory_space=pltpu.VMEM)
 
-    d_k = D // h
-    if av_group is None:
-        # full 128 output lanes at the least over-compute (the packed
-        # p@v dot costs av_group x the per-head FLOPs)
-        av_group = max(1, min(h, 128 // d_k))
-    while h % av_group:
-        av_group -= 1
     F = w["wff1"].shape[2]
     out = pl.pallas_call(
         functools.partial(_kernel, tile_b=tile_b, T=T, D=D, h=h,
@@ -800,9 +818,11 @@ def dropout_seed_table(rng, n_layers: int):
     return jax.lax.bitcast_convert_type(jnp.stack(rows), jnp.int32)
 
 
-def _pick_tile_b_train(B: int, T: int, D: int, itemsize: int) -> int:
-    # x_s fp32 carry + qkv_s + saved/in/out blocks (double-buffered)
-    per_b = T * D * (4 + 8 + (3 + 4) * itemsize)
+def _pick_tile_b_train(B: int, T: int, D: int, itemsize: int,
+                       extra_cdt: int = 0) -> int:
+    # x_s fp32 carry + qkv_s + saved/in/out blocks (double-buffered);
+    # extra_cdt = bdq stack elements per video in T*D units (_bdq_extra)
+    per_b = T * D * (4 + 8 + (3 + 4 + extra_cdt) * itemsize)
     tb = max(1, min(8, (8 * 1024 * 1024) // per_b))
     while B % tb and tb > 1:
         tb -= 1
@@ -829,19 +849,20 @@ def _train_fwd_impl(layers, x, mask, *, h, dropout_p, seeds,
         interpret = _train_interpret()
     B, T0, D = x.shape
     n_layers = len(layers)
+    d_k = D // h
+    if av_group is None:
+        av_group = max(1, min(h, 128 // d_k))
+    while h % av_group:
+        av_group -= 1
     if tile_b is None:
-        tile_b = _pick_tile_b_train(B, T0, D, x.dtype.itemsize)
+        tile_b = _pick_tile_b_train(B, T0, D, x.dtype.itemsize,
+                                    extra_cdt=_bdq_extra(av_group, 1))
     x_p, m2, T, Bp = _prep_padded(x, mask, tile_b)
     w = _pack_weights({"layers": layers,
                        "norm": {"a_2": jnp.zeros(D), "b_2": jnp.zeros(D)}},
                       x.dtype)
     n_tiles = Bp // tile_b
     R = tile_b * T
-    d_k = D // h
-    if av_group is None:
-        av_group = max(1, min(h, 128 // d_k))
-    while h % av_group:
-        av_group -= 1
 
     def wspec(block):
         return pl.BlockSpec((1,) + block, lambda b, l: (l,) + (0,) * len(block),
@@ -892,10 +913,12 @@ def _train_fwd_impl(layers, x, mask, *, h, dropout_p, seeds,
 
 
 def _pick_tile_b_bwd(B: int, T: int, D: int, F: int, itemsize: int,
-                     h: int) -> int:
+                     h: int, extra_cdt: int = 0) -> int:
     # scratches (qkv/xn1/o/xn2/dqkv cdt; x1/dx1 + midp fp32; p_s fp32 +
-    # k0_s cdt attention stashes) + x/dy/dx blocks
-    per_b = T * (D * ((3 + 1 + 1 + 1 + 3) * itemsize + 2 * 4 + 3 * 4 * 2)
+    # k0_s cdt attention stashes) + x/dy/dx blocks; extra_cdt = bdq stack
+    # elements per video in T*D units (2 families here: q + do stacks)
+    per_b = T * (D * ((3 + 1 + 1 + 1 + 3 + extra_cdt) * itemsize
+                      + 2 * 4 + 3 * 4 * 2)
                  + F * 4 + h * T * (4 + itemsize))
     tb = max(1, min(8, (7 * 1024 * 1024) // per_b))
     while B % tb and tb > 1:
@@ -912,7 +935,8 @@ def _layer_bwd_call(wl, seeds_row, x_l, dy, m2, *, h, dropout_p, T0, B,
     Bp, T, D = x_l.shape
     F = wl["wff1"].shape[2]
     if tile_b is None:
-        tile_b = _pick_tile_b_bwd(Bp, T, D, F, jnp.dtype(cdt).itemsize, h)
+        tile_b = _pick_tile_b_bwd(Bp, T, D, F, jnp.dtype(cdt).itemsize, h,
+                                  extra_cdt=_bdq_extra(av_group, 2))
     n_tiles = Bp // tile_b
     R = tile_b * T
 

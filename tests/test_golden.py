@@ -22,7 +22,12 @@ def test_golden(name, family, mods, mask_mode, variant):
                                err_msg=name)
 
 
-@pytest.mark.parametrize("kernel", [False, True], ids=["jnp", "kernel"])
+@pytest.mark.parametrize(
+    "kernel",
+    [pytest.param(False, id="jnp"),
+     # the kernel path forces every Pallas train kernel through interpret
+     # mode on CPU (~45 s per family) — the expensive half of the lock
+     pytest.param(True, id="kernel", marks=pytest.mark.slow)])
 @pytest.mark.parametrize("name,family,mods", TRAIN_CASES)
 def test_train_golden(name, family, mods, kernel):
     """Fixed-seed TRAINING numerics lock (VERDICT r2 #5): 2 epochs of the

@@ -416,33 +416,43 @@ def test_encoder_stack_fused_av_groups_exact(av_group):
                                atol=2e-5)
 
 
-def test_encoder_stack_fused_bdq_scores_bit_exact(monkeypatch):
+@pytest.mark.parametrize("av_group", [2, 4, 8])
+def test_encoder_stack_fused_bdq_scores_bit_exact(monkeypatch, av_group):
     """MMTX_ENC_SCORE=bdq (block-diagonal-q score dots, stacks built once
     per tile at the qkv read) must be BIT-identical to the per-head score
     path: the stack's zero lanes contribute exact fp32 zeros to the
-    128-deep contraction."""
+    128-deep contraction.  Parametrized over av_group so the multi-group
+    slicing (grp > 0 row/column blocks of qbd) is exercised, not just the
+    single-group h//g == 1 layout (ADVICE r3)."""
     from multimodal_transformer_tpu.ops.pallas.encoder import (
         encoder_stack_fused)
 
     h = 8
     params, x, mask, _ = _enc_setup(7, 5, 37, 64, 3, h)
     ref = encoder_stack_fused(params, x, mask, h=h, interpret=True,
-                              tile_b=2)
+                              tile_b=2, av_group=av_group)
     monkeypatch.setenv("MMTX_ENC_SCORE", "bdq")
     got = encoder_stack_fused(params, x, mask, h=h, interpret=True,
-                              tile_b=2)
+                              tile_b=2, av_group=av_group)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("D", [64, 256])
 def test_encoder_train_kernel_bdq_grads_bit_exact(_hash_dropout,
-                                                  monkeypatch):
+                                                  monkeypatch, D):
     """bdq hoisting in the fused train fwd + per-layer bwd must leave loss
-    and every grad leaf BIT-identical (zeros in the stacks are exact)."""
+    and every grad leaf BIT-identical (zeros in the stacks are exact).
+
+    D=64 gives d_k=8 -> av_group=8 = h (single group); D=256 gives the
+    production d_k=32 -> av_group=4, h//g=2, exercising the grp > 0
+    stack slicing in BOTH train kernels (ADVICE r3 — av_group is derived
+    internally by the train entry points, so the multi-group layout is
+    reached by using the production head width)."""
     from multimodal_transformer_tpu.ops.pallas.encoder import (
         dropout_seed_table, encoder_stack_fused_train)
 
     h = 8
-    params, x, mask, _ = _enc_setup(17, 4, 21, 64, 2, h)
+    params, x, mask, _ = _enc_setup(17, 4, 21, D, 2, h)
     rng = jax.random.PRNGKey(9)
     seeds = dropout_seed_table(rng, 2)
     g = jnp.asarray(np.random.RandomState(4).randn(*x.shape)

@@ -101,6 +101,7 @@ def test_pad_batch_rows():
     assert pad_batch_rows(a, 5).shape == (5, 3)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)

@@ -129,16 +129,23 @@ def fixture_tree(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("family,mods", [
-    ("MFT", ("acoustic", "linguistic")),   # flagship: encoders + MFN grads
-    ("SFT", ("image", "linguistic")),      # LSTM-decoder head grads
+@pytest.mark.slow
+@pytest.mark.parametrize("family,mods,epochs", [
+    # the two recurrence-risk carriers get the long horizon
+    ("MFT", ("acoustic", "linguistic"), 4),  # per-mod encoders + MFN grads
+    ("SFT", ("image", "linguistic"), 4),     # LSTM-decoder head grads
+    # the remaining families at 2 epochs (VERDICT r3 #4): still multi-epoch
+    # optimizer-coupled evidence beyond the 5-step test, at ~half the cost
+    ("B1-LSTM", ("linguistic",), 2),         # local-attn + LSTM head
+    ("B2-Trans", ("image", "linguistic"), 2),
+    ("B3-MFN", ("acoustic", "linguistic"), 2),
 ])
-def test_epoch_trajectory_tracks_torch(fixture_tree, family, mods):
-    """4 epochs of reference-semantics training on the synthetic fixture:
+def test_epoch_trajectory_tracks_torch(fixture_tree, family, mods, epochs):
+    """Reference-semantics training epochs on the synthetic fixture:
     per-epoch loss and valid mean-CCC trajectories track torch within fp32
-    tolerance.  (The remaining families' optimization paths are covered by
-    the 5-step test above; these two carry the recurrence risk.)"""
-    epochs, lr_f = 4, 1e-3
+    tolerance, for EVERY family (the 5-step test covers short-horizon grad
+    parity; this covers optimizer-coupled multi-epoch behavior)."""
+    lr_f = 1e-3
     cfg = default_config(family, mods)
     object.__setattr__(cfg, "mod_dimension", dict(SMALL_DIMS))
     ds = load_send(list(mods), fixture_tree, "Train")
@@ -209,5 +216,11 @@ def test_epoch_trajectory_tracks_torch(fixture_tree, family, mods):
                                err_msg=f"{family} loss trajectory")
     np.testing.assert_allclose(ccc_j, ccc_t, atol=2e-3,
                                err_msg=f"{family} eval CCC trajectory")
-    # and training must have actually moved: the trajectory is non-trivial
-    assert traj_j[-1] < traj_j[0], (family, traj_j)
+    # and training must have actually moved: the trajectory is non-trivial.
+    # Strict descent only over the 4-epoch horizon — at 2 epochs a
+    # transformer at lr=1e-3 can legitimately overshoot first (B2 does);
+    # the short cases assert the optimizer actually changed the loss.
+    if epochs >= 4:
+        assert traj_j[-1] < traj_j[0], (family, traj_j)
+    else:
+        assert traj_j[-1] != traj_j[0], (family, traj_j)

@@ -138,6 +138,11 @@ def t_multi_lstm(p, x, mask):
     def tshift(x_, i):
         if i == 0:
             return x_
+        if i >= x_.size(1):
+            # every element shifted out: all-padding (the reference's
+            # pad_shift crashes here — MFT/models.py:10-19 negative slice
+            # bound; ops/recurrent.py pad_shift handles it, mirror that)
+            return torch.zeros_like(x_)
         padding = torch.zeros(x_.size(0), i, x_.size(2))
         return torch.cat((padding, x_[:, :-i, :]), dim=1)
 
