@@ -187,11 +187,14 @@ def encoder_stack(params, x, mask=None, *, h: int = 8, rng=None,
             # vs jnp 9.88; fp32 kernel 9.81 (examples/bench_train.py, MFN
             # train kernels ON, same session; MMTX_ENC_TRAIN_BF16=0
             # restores the old fp32-only gate for A/B).
+            from .basic import _ablate_dropout
             from .pallas.encoder import (dropout_seed_table,
                                          encoder_stack_fused_train)
             seeds = dropout_seed_table(rng, len(params["layers"]))
+            # MMTX_ABLATE_DROPOUT: same kernels, p=0 (measurement only)
+            p_eff = 0.0 if _ablate_dropout() else dropout_p
             y = encoder_stack_fused_train(params["layers"], x, mask, h,
-                                          dropout_p, seeds)
+                                          p_eff, seeds)
             return torch_layer_norm(params["norm"], y.astype(x.dtype))
     return _encoder_stack_jnp(params, x, mask, h=h, rng=rng,
                               dropout_p=dropout_p, mask_mode=mask_mode)

@@ -56,6 +56,12 @@ def _dropout_impl() -> str:
     return "hash"
 
 
+def _ablate_dropout() -> bool:
+    """Measurement-only ablation knob (see dropout's docstring)."""
+    import os
+    return os.environ.get("MMTX_ABLATE_DROPOUT") == "1"
+
+
 def hash_seed(rng):
     """Fold a JAX PRNG key into one uint32 seed for hash_keep_mask.
 
@@ -110,8 +116,13 @@ def dropout(x, rng, p: float):
       - "threefry": jax.random.bernoulli on the passed key — the round-1
         behavior, for reproducing old training runs.
     Either way dropout is deterministic in (key, shape) and identical on
-    CPU and TPU."""
-    if rng is None or p == 0.0:
+    CPU and TPU.
+
+    MMTX_ABLATE_DROPOUT=1 is a measurement-only ablation (WRONG numerics:
+    it silently disables regularization) that makes every dropout site an
+    identity while leaving all dispatch decisions untouched — used to
+    bound the total dropout cost of a kernel recipe (VERDICT r3 #5)."""
+    if rng is None or p == 0.0 or _ablate_dropout():
         return x
     keep = 1.0 - p
     if _dropout_impl() == "hash":

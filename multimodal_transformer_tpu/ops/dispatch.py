@@ -62,6 +62,29 @@ hash impl, same-session A/Bs via examples/bench_train.py):
     mixed 14.29 -> 9.88 ms/step pre-stash.  Mixed + all kernels is the
     fastest recipe at ~9.5 ms/step (3.4x the round-1 27.7 ms step).
 
+MMTX_ENC_SCORE=bdq verdict (round 4, v5e, same-session 300-step chained
+A/Bs — the tile-hoisted block-diagonal-q score layout of
+ops/pallas/encoder.py:_blockdiag_stack_tile, bit-exact vs perhead):
+  * eval (bench.py --iters 400, alternating runs): perhead 16,185 /
+    16,237 seq/s (41.4% MFU) vs bdq 15,106 / 15,177 / 15,125 (38.7%) —
+    bdq LOSES 6.6%.
+  * train (bench_train.py --mixed --chains 20 320): perhead 9.473
+    ms/step (22.0% MFU) vs bdq 10.031 (20.8%) — bdq LOSES 5.6%.
+  -> default stays "perhead".  Even with the stack builds hoisted out of
+  the per-video loop (the round-2 -19% failure mode removed), the VPU
+  select building g*R*D stack elements costs more than the saved MXU
+  passes: the score dots were never the binding resource.  (The train
+  run also pays a REAL second cost the ADVICE r3 VMEM audit predicted:
+  accounting for the 2*g*R*D backward stack buffers drops the bwd batch
+  tile from 2 to 1 at SEND scale.  The eval A/B ran at IDENTICAL tile_b=8
+  on both layouts, so the -6.6% there isolates the stack builds
+  themselves.)  This also
+  closes the d_k=32-underfill theory for the eval plateau: ~41% of
+  counted model FLOPs is NOT score-contraction-bound (the packed p@v
+  already runs g=4x overcompute the counter ignores, so executed-FLOP
+  utilization is higher than the printed MFU; the residual gap is
+  softmax/LN VPU work and the per-video issue pattern, not MXU depth).
+
 Overrides: per-kernel MMTX_PALLAS_ATTN / MMTX_PALLAS_WEMBED /
 MMTX_PALLAS_MFN / MMTX_PALLAS_ENCODER (=0/1) beat the global MMTX_PALLAS
 (=0/1), which beats the

@@ -81,6 +81,9 @@ def _sig_mlp(p1, p2, x, rng, p_drop):
 def _drop_seeded(x, seed, p_drop: float):
     """Inverted hash dropout from a precomputed fmix32 seed (the hoisted
     form of basic.dropout's hash path — same mask bits for the same key)."""
+    from .basic import _ablate_dropout
+    if p_drop == 0.0 or _ablate_dropout():
+        return x
     idx = jnp.arange(x.size, dtype=jnp.uint32).reshape(x.shape)
     keep = hash_keep_mask(seed, idx, p_drop)
     return jnp.where(keep, x / (1.0 - p_drop), 0.0)
@@ -283,8 +286,10 @@ def _mfn_states_fused_path(params, inputs, mods, rng):
     )(sub)                                                 # [T, 2] uint32
     seeds = jax.lax.bitcast_convert_type(seeds, jnp.int32)  # SMEM wants i32
 
-    return mfn_states_fused_train(
-        gp, xps, seeds, mods, (DROPOUTS["gamma1"], DROPOUTS["gamma2"]))
+    from .basic import _ablate_dropout
+    p1, p2 = ((0.0, 0.0) if _ablate_dropout()
+              else (DROPOUTS["gamma1"], DROPOUTS["gamma2"]))
+    return mfn_states_fused_train(gp, xps, seeds, mods, (p1, p2))
 
 
 # Differentiable wrapper over the Pallas full-recurrence kernel.  The

@@ -419,6 +419,29 @@ def _blockdiag_stack(slab, g: int, T: int, d_k: int):
     return jnp.where(rb == lb, rep, jnp.zeros((), rep.dtype))
 
 
+def _diag_unstack(O, g: int, T: int, d_k: int):
+    """[g*T, g*d_k] group-dot output -> [T, g*d_k] diagonal blocks: lane
+    block j comes from row block j.  Two layouts (MMTX_ENC_EXTRACT):
+
+      * "slice" — g unaligned [T, d_k] lane slices + concat (d_k=32 lane
+        offsets force VPU lane rotations per slice);
+      * "masksum" — reshape to [g, T, g*d_k], zero the off-diagonal lane
+        blocks, sum over the g row blocks: one select + one reduce over
+        lane-aligned [T, 128] tiles.  Bit-exact (x + 0.0 == x in fp32,
+        and the masked terms are exact zeros).
+
+    Default "slice" until the A/B verdict is recorded here."""
+    if os.environ.get("MMTX_ENC_EXTRACT", "slice") == "slice":
+        return jnp.concatenate(
+            [O[j * T:(j + 1) * T, j * d_k:(j + 1) * d_k] for j in range(g)],
+            axis=1)
+    gd = g * d_k
+    O3 = O.reshape(g, T, gd)
+    rb = jax.lax.broadcasted_iota(jnp.int32, (g, T, gd), 0)
+    lb = jax.lax.broadcasted_iota(jnp.int32, (g, T, gd), 2) // d_k
+    return jnp.sum(jnp.where(rb == lb, O3, jnp.zeros((), O.dtype)), axis=0)
+
+
 def _blockdiag_stack_tile(slab, tile_b: int, g: int, T: int, d_k: int):
     """[tile_b*T, g*d_k] group slab -> [tile_b*g*T, g*d_k]: per-video
     block-diagonal stacks (_blockdiag_stack), built in ONE vectorized
@@ -466,6 +489,9 @@ def _attention_tile(qkv_s, kmask_ref, *, tile_b, T, D, h,
     # MMTX_ENC_SCORE=bdq: score dots as block-diagonal-q group dots with
     # the stacks built ONCE per tile at the qkv read (vectorized over all
     # videos), not per video inside the loop (the -19% round-2 attempt).
+    # ROUND-4 VERDICT: measured and LOSES on both paths (eval -6.6%,
+    # train -5.6%; numbers + analysis in ops/dispatch.py) — kept as the
+    # documented negative result; default stays perhead.
     # Per group: q_bd [g*T, g*d_k] block-diag rows x k_g [T, g*d_k] dense
     # lanes -> [g*T, T] per-head scores in the packed sublane layout the
     # softmax already wants.  Contraction depth g*d_k=128 (vs d_k=32
@@ -521,9 +547,9 @@ def _attention_tile(qkv_s, kmask_ref, *, tile_b, T, D, h,
             vg = qkvb[:, 2 * D + grp * g * d_k:
                       2 * D + (grp + 1) * g * d_k]
             O = jnp.dot(pg, vg, preferred_element_type=jnp.float32)
-            outs.extend(O[i * T:(i + 1) * T, i * d_k:(i + 1) * d_k]
-                        for i in range(g))
-        outs_rows.append(jnp.concatenate(outs, axis=1))
+            outs.append(_diag_unstack(O, g, T, d_k) if g > 1 else O)
+        outs_rows.append(jnp.concatenate(outs, axis=1)
+                         if len(outs) > 1 else outs[0])
     return jnp.concatenate(outs_rows, axis=0)
 
 
@@ -777,9 +803,8 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
             # blocks of one [g*T, T] @ [T, g*d_k] dot (p@v-style packing)
             dq_full = jnp.dot((ds * inv_sqrt_dk).astype(cdt), kg,
                               preferred_element_type=jnp.float32)
-            dqs.append(jnp.concatenate(
-                [dq_full[j * T:(j + 1) * T, j * d_k:(j + 1) * d_k]
-                 for j in range(g)], axis=1))              # [T, g*d_k]
+            dqs.append(_diag_unstack(dq_full, g, T, d_k)
+                       if g > 1 else dq_full)              # [T, g*d_k]
             # dk lane-block j = ds_j^T @ q_scaled_j  (= dsc_j^T @ q_j)
             dks.append(jax.lax.dot_general(
                 ds.astype(cdt), qstack, (((0,), (0,)), ((), ())),
@@ -904,6 +929,17 @@ def _train_fwd_impl(layers, x, mask, *, h, dropout_p, seeds,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
+        # model FLOPs (no g-overcompute), same convention as the eval
+        # kernel's estimate — feeds XLA cost analysis so bench.py's
+        # train_mfu sees the work hidden inside the custom call
+        cost_estimate=pl.CostEstimate(
+            flops=n_layers * (2 * Bp * T * D * (4 * D + 2 * F)
+                              + 4 * Bp * T * T * D),
+            bytes_accessed=(Bp * T * D * 4 * (2 + n_layers)
+                            + n_tiles * n_layers
+                            * (4 * D * D + 2 * D * F) * x.dtype.itemsize),
+            transcendentals=n_layers * Bp * T * T,
+        ),
         interpret=interpret,
     )(x_p, m2.reshape(n_tiles, tile_b, T),
       w["ln1a"], w["ln1b"], w["wqkv"], w["bqkv"], w["wout"], w["bout"],
@@ -998,6 +1034,17 @@ def _layer_bwd_call(wl, seeds_row, x_l, dy, m2, *, h, dropout_p, T0, B,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
+        # model-FLOPs convention: one layer's backward = 2x its forward
+        # (the in-VMEM recompute is rematerialization, not model work —
+        # keeps train_mfu comparable to the jnp-path 413-GFLOP basis)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (2 * Bp * T * D * (4 * D + 2 * F)
+                       + 4 * Bp * T * T * D),
+            bytes_accessed=(3 * Bp * T * D * 4
+                            + n_tiles * (4 * D * D + 2 * D * F)
+                            * jnp.dtype(cdt).itemsize),
+            transcendentals=Bp * T * T,
+        ),
         interpret=interpret,
     )(x_l, dy, m2.reshape(n_tiles, tile_b, T),
       wl["ln1a"], wl["ln1b"], wl["wqkv"], wl["bqkv"], wl["wout"],

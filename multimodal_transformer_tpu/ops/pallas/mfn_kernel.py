@@ -213,6 +213,16 @@ def mfn_scan_pallas(params, inputs, mods, *, interpret: bool | None = None):
             + [pltpu.VMEM((B, HIDDEN_DIM[m]), jnp.float32) for m in mods]
             + [pltpu.VMEM((B, MEM_DIM), jnp.float32)]
         ),
+        # per-step matmul FLOPs from the actual weight shapes (feeds XLA
+        # cost analysis — without this the recurrence counts as 0 FLOPs
+        # in bench.py's MFU)
+        cost_estimate=pl.CostEstimate(
+            flops=T * 2 * B * (sum(w.size for w in whhs)
+                               + sum(g.size for g in gate_args
+                                     if g.ndim == 2)),
+            bytes_accessed=T * B * (4 * total_h * 2 + MEM_DIM) * 4,
+            transcendentals=T * B * (9 * total_h + 2 * MEM_DIM),
+        ),
         interpret=interpret,
     )(*xps, *whhs, *gate_args)
     return hs.transpose(1, 0, 2), mems.transpose(1, 0, 2)

@@ -206,6 +206,15 @@ def _fwd_call(gp, xps, seeds, mods, p1, p2, interpret=False):
             + [pltpu.VMEM((B, HIDDEN_DIM[m]), jnp.float32) for m in mods]
             + [pltpu.VMEM((B, MEM_DIM), jnp.float32)]
         ),
+        # per-step matmul FLOPs from the actual weight shapes (feeds XLA
+        # cost analysis for bench.py's train_mfu)
+        cost_estimate=pl.CostEstimate(
+            flops=T * 2 * B * (sum(w.size for w in whhs)
+                               + sum(g.size for g in gate_args
+                                     if g.ndim == 2)),
+            bytes_accessed=T * B * (4 * total_h * 3 + MEM_DIM) * 4,
+            transcendentals=T * B * (9 * total_h + 2 * MEM_DIM),
+        ),
         interpret=interpret,
     )(*[xps[m] for m in mods], seeds, *whhs, *gate_args)
     return hs, cs, mems
@@ -504,6 +513,15 @@ def _bwd_call(gp, xps, seeds, saved, g_hs, g_mems, mods, p1, p2,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
+        # model-FLOPs convention: reverse recurrence ~ 2x the forward's
+        # matmul work (recompute is remat, not model work)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * 2 * B * (sum(w.size for w in whhs)
+                                   + sum(g.size for g in gate_args
+                                         if g.ndim == 2)),
+            bytes_accessed=T * B * (4 * total_h * 5 + 2 * MEM_DIM) * 4,
+            transcendentals=T * B * (9 * total_h + 2 * MEM_DIM),
+        ),
         interpret=interpret,
     )(*[xps[m] for m in mods], hs_prev, cs_prev, mem_prev, g_hs, g_mems,
       seeds, *whhs, *gate_args)

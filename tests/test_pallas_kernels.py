@@ -471,6 +471,40 @@ def test_encoder_train_kernel_bdq_grads_bit_exact(_hash_dropout,
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_encoder_extract_masksum_bit_exact(_hash_dropout, monkeypatch):
+    """MMTX_ENC_EXTRACT=masksum (mask-and-sum diagonal-block extraction in
+    the grouped p@v / dq dots) must be BIT-identical to the unaligned
+    slice+concat layout in eval forward AND train loss + every grad leaf
+    (the masked terms are exact zeros; x + 0.0 == x)."""
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        dropout_seed_table, encoder_stack_fused, encoder_stack_fused_train)
+
+    h = 8
+    params, x, mask, _ = _enc_setup(23, 4, 21, 256, 2, h)  # d_k=32 -> g=4
+    rng = jax.random.PRNGKey(3)
+    seeds = dropout_seed_table(rng, 2)
+    gcot = jnp.asarray(np.random.RandomState(6).randn(*x.shape)
+                       .astype(np.float32)) * mask
+
+    def loss(layers):
+        y = encoder_stack_fused_train(layers, x, mask, h, 0.25, seeds)
+        return jnp.sum(y * gcot)
+
+    monkeypatch.setenv("MMTX_ENC_EXTRACT", "slice")
+    ref_fwd = encoder_stack_fused(params, x, mask, h=h, interpret=True,
+                                  tile_b=2)
+    ref_l, ref_g = jax.value_and_grad(loss)(params["layers"])
+    monkeypatch.setenv("MMTX_ENC_EXTRACT", "masksum")
+    got_fwd = encoder_stack_fused(params, x, mask, h=h, interpret=True,
+                                  tile_b=2)
+    got_l, got_g = jax.value_and_grad(loss)(params["layers"])
+    np.testing.assert_array_equal(np.asarray(got_fwd), np.asarray(ref_fwd))
+    np.testing.assert_array_equal(np.asarray(got_l), np.asarray(ref_l))
+    for a, b in zip(jax.tree_util.tree_leaves(got_g),
+                    jax.tree_util.tree_leaves(ref_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mfn_kernel_dispatch_grad_parity(monkeypatch):
     """Dropout-free training (rng=None under value_and_grad) dispatches
     the MFN kernel; its remat custom_vjp must reproduce the jnp scan's
