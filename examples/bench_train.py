@@ -17,9 +17,13 @@ reproduce (default hash, ops/basic.py).
 
 Dropout-OFF mixed floor (v5e, same session, jnp paths MMTX_PALLAS=0):
 dropout ON 14.496 vs OFF 12.743 ms/step — the TOTAL dropout cost (fmix32
-mask gen + apply, fwd+bwd, all sites) is ~1.75 ms/step, which bounds the
-remaining mask-generation lever on the kernel path (where the encoder/MFN
-train kernels already generate their masks in-VMEM) to well under that.
+mask gen + apply, fwd+bwd, all sites) is ~1.75 ms/step on the jnp path.
+KERNEL-path dropout cost (round 4, MMTX_ABLATE_DROPOUT=1, default kernels
+mixed): 9.470 -> 8.225 ms/step, i.e. ~1.25 ms/step — the in-kernel fmix32
+generation recovers ~0.5 ms of the jnp path's 1.75; the remaining 1.25 is
+mask generation (attn-prob site = 62% of all bits, generated in the fwd
+kernel AND regenerated in the bwd recompute) + applies + the jnp-path
+front-end/MFN/head sites.
 
 Usage: python examples/bench_train.py [--fp32] [--batch 32]
 """
@@ -72,6 +76,11 @@ def main():
 
     from multimodal_transformer_tpu.models import build_model, default_config
     from multimodal_transformer_tpu.engine.optim import adam_init, adam_update
+    from multimodal_transformer_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    # long-chain scans are compile-dominated on the remote backend; cache
+    # them like the CLI does so repeat A/Bs pay the compile once
+    enable_compile_cache()
 
     B = args.batch
     cfg = default_config(args.family, MODS, mask_mode="key_query")

@@ -85,6 +85,32 @@ ops/pallas/encoder.py:_blockdiag_stack_tile, bit-exact vs perhead):
   utilization is higher than the printed MFU; the residual gap is
   softmax/LN VPU work and the per-video issue pattern, not MXU depth).
 
+MMTX_ENC_BWD=stack verdict (round 4, v5e, same-session 300-step chained
+A/Bs via bench_train.py --mixed): the whole-stack fused backward — ONE
+pallas_call per encoder with grid (layer, tile), dy carried in a VMEM
+scratch across layers instead of HBM round trips, weight grads flushed
+once per layer (ops/pallas/encoder.py _stack_bwd_call) — does NOT beat
+the per-layer loop:
+  * full-batch dy carry (5.24 MB VMEM) forces tile_b=1: 9.867 ms/step
+    vs per-layer 9.470 — LOSES 4.2% (halving the VPU row width costs
+    more than 15 launches + 10 dy round trips save);
+  * 2-chunk variant (B=16 per call, tile_b=2 like the per-layer path,
+    per-chunk b_off keeps mask bits global): 9.497 ms/step — PARITY
+    (-0.3%, within tunnel noise).
+  -> default stays "perlayer".  Decisive negative: the backward is NOT
+  dispatch- or dy-traffic-bound (18 launches + 157 MB of dy round trips
+  together are worth < 0.05 ms); its cost is the in-kernel compute
+  (grad dots + softmax-bwd/LN-bwd VPU passes + mask regeneration).
+  Kept as tested, documented code (MMTX_ENC_BWD=stack,
+  MMTX_ENC_BWD_CHUNKS=n; bit-exact vs per-layer at equal tile_b,
+  tests/test_pallas_kernels.py).
+
+Kernel-path dropout cost (round 4, MMTX_ABLATE_DROPOUT=1, mixed, default
+kernels): 9.470 -> 8.225 ms/step = 1.25 ms/step total dropout cost (jnp
+path: 1.75).  The in-kernel fmix32 generation recovers ~0.5 ms; what
+remains is dominated by the attn-prob site's bits (62% of all mask bits,
+generated in the fwd kernel and regenerated once in the bwd recompute).
+
 Overrides: per-kernel MMTX_PALLAS_ATTN / MMTX_PALLAS_WEMBED /
 MMTX_PALLAS_MFN / MMTX_PALLAS_ENCODER (=0/1) beat the global MMTX_PALLAS
 (=0/1), which beats the

@@ -328,14 +328,18 @@ def _keep(seed_u32, idx_u32, p: float):
     return h >= threshold
 
 
-def _row_site_idx(tile_i, tile_b: int, T: int, T0: int, width: int):
+def _row_site_idx(tile_i, tile_b: int, T: int, T0: int, width: int,
+                  b_off: int = 0):
     """Flat jnp-tensor positions for a [B, T0, width] dropout site, laid out
     over this tile's [tile_b*T, width] rows (padded positions get aliased
-    garbage indices — their values are discarded downstream)."""
+    garbage indices — their values are discarded downstream).  b_off: the
+    GLOBAL index of this call's first video (nonzero when the whole-stack
+    backward runs the batch in chunks — mask bits are keyed by global
+    video position, so each chunk must know where it starts)."""
     bloc = jax.lax.broadcasted_iota(jnp.int32, (tile_b, T, width), 0)
     t = jax.lax.broadcasted_iota(jnp.int32, (tile_b, T, width), 1)
     c = jax.lax.broadcasted_iota(jnp.int32, (tile_b, T, width), 2)
-    gb = tile_i * tile_b + bloc
+    gb = b_off + tile_i * tile_b + bloc
     idx = (gb * T0 + t) * width + c
     return idx.reshape(tile_b * T, width).astype(jnp.uint32)
 
@@ -459,7 +463,8 @@ def _blockdiag_stack_tile(slab, tile_b: int, g: int, T: int, d_k: int):
 def _attention_tile(qkv_s, kmask_ref, *, tile_b, T, D, h,
                     av_group, inv_sqrt_dk, tile_i=None, T0=None,
                     seed0=None, dropout_p=0.0, cdt=jnp.bfloat16,
-                    prescaled_q=False, p_out=None, k0_out=None):
+                    prescaled_q=False, p_out=None, k0_out=None,
+                    b_off: int = 0):
     """Per-video packed attention over one batch tile (shared fwd helper,
     optionally with the in-kernel hash dropout on the attention probs).
     No query-row masking (see the module docstring: padded-query rows are
@@ -534,7 +539,7 @@ def _attention_tile(qkv_s, kmask_ref, *, tile_b, T, D, h,
         if p_out is not None:
             p_out[b * h * T:(b + 1) * h * T, :] = p
         if dropout_p > 0.0:
-            gb = tile_i * tile_b + b
+            gb = b_off + tile_i * tile_b + b
             k0 = _keep(seed0, _attn_site_idx(gb, h, T, T0), dropout_p)
             if k0_out is not None:
                 k0_out[b * h * T:(b + 1) * h * T, :] = k0.astype(
@@ -646,10 +651,6 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
     the grad loop pays the score dots + softmax + fmix32 mask generation
     ONCE instead of twice."""
     i = pl.program_id(0)
-    R = tile_b * T
-    d_k = D // h
-    inv_sqrt_dk = jnp.float32(1.0) / jnp.sqrt(jnp.float32(d_k))
-    keep = 1.0 - dropout_p
 
     @pl.when(i == 0)
     def _():
@@ -658,10 +659,47 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
                     dwff2_ref, dbff2_ref):
             ref[:] = jnp.zeros(ref.shape, ref.dtype)
 
+    R = tile_b * T
     x = x_ref[:].reshape(R, D)
     dy = dy_ref[:].reshape(R, D)
-    idx_d = _row_site_idx(i, tile_b, T, T0, D)
-    idx_f = _row_site_idx(i, tile_b, T, T0, F)
+    dx = _layer_bwd_core(
+        x, dy, kmask_ref,
+        ln1a_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+        ln2a_ref, ln2b_ref, wff1_ref, bff1_ref, wff2_ref, bff2_ref,
+        seeds_ref,
+        dln1a_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+        dln2a_ref, dln2b_ref, dwff1_ref, dbff1_ref, dwff2_ref, dbff2_ref,
+        qkv_s, xn1_s, o_s, x1_s, xn2_s, midp_s, dx1_s, p_s, k0_s, dqkv_s,
+        lrow=0, tile_i=i, tile_b=tile_b, T=T, T0=T0, D=D, F=F, h=h,
+        av_group=av_group, dropout_p=dropout_p, cdt=cdt)
+    dx_ref[:] = dx.reshape(tile_b, T, D)
+
+
+def _layer_bwd_core(x, dy, kmask_ref,
+                    ln1a_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref,
+                    bout_ref, ln2a_ref, ln2b_ref, wff1_ref, bff1_ref,
+                    wff2_ref, bff2_ref, seeds_ref,
+                    dln1a_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwout_ref,
+                    dbout_ref, dln2a_ref, dln2b_ref, dwff1_ref, dbff1_ref,
+                    dwff2_ref, dbff2_ref,
+                    qkv_s, xn1_s, o_s, x1_s, xn2_s, midp_s, dx1_s, p_s, k0_s,
+                    dqkv_s,
+                    *, lrow, tile_i, tile_b: int, T: int, T0: int, D: int,
+                    F: int, h: int, av_group: int, dropout_p: float, cdt,
+                    b_off: int = 0):
+    """Shared per-tile layer-backward body (the math of _bwd_kernel),
+    callable from both the per-layer kernel (lrow=0: the seeds block is
+    one row) and the whole-stack kernel (lrow = the traced actual-layer
+    index into the full [N, 4] SMEM seed table).  Accumulates weight
+    grads into the d*_ref refs (callers zero them at the first visit)
+    and returns dx [tile_b*T, D] fp32."""
+    i = tile_i
+    R = tile_b * T
+    d_k = D // h
+    inv_sqrt_dk = jnp.float32(1.0) / jnp.sqrt(jnp.float32(d_k))
+    keep = 1.0 - dropout_p
+    idx_d = _row_site_idx(i, tile_b, T, T0, D, b_off=b_off)
+    idx_f = _row_site_idx(i, tile_b, T, T0, F, b_off=b_off)
 
     # ---- recompute forward through the layer ----
     xn1 = _ln(x, ln1a_ref[0], ln1b_ref[0])
@@ -675,13 +713,13 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
     attn_c = _attention_tile(
         qkv_s, kmask_ref, tile_b=tile_b, T=T, D=D, h=h,
         av_group=av_group, inv_sqrt_dk=inv_sqrt_dk, tile_i=i, T0=T0,
-        seed0=_seed(seeds_ref, 0, 0), dropout_p=dropout_p, cdt=cdt,
+        seed0=_seed(seeds_ref, lrow, 0), dropout_p=dropout_p, cdt=cdt,
         prescaled_q=True, p_out=p_s,
-        k0_out=k0_s if dropout_p > 0.0 else None)
+        k0_out=k0_s if dropout_p > 0.0 else None, b_off=b_off)
     o_s[:] = attn_c.astype(cdt)
     attn = jnp.dot(o_s[:], wout_ref[0],
                    preferred_element_type=jnp.float32) + bout_ref[0]
-    x1 = x + _drop(attn, _seed(seeds_ref, 0, 1), idx_d, dropout_p)
+    x1 = x + _drop(attn, _seed(seeds_ref, lrow, 1), idx_d, dropout_p)
     x1_s[:] = x1
     xn2 = _ln(x1, ln2a_ref[0], ln2b_ref[0])
     xn2_s[:] = xn2.astype(cdt)
@@ -691,13 +729,13 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
 
     # ---- feed-forward sublayer backward ----
     if dropout_p > 0.0:
-        k3 = _keep(_seed(seeds_ref, 0, 3), idx_d, dropout_p)
+        k3 = _keep(_seed(seeds_ref, lrow, 3), idx_d, dropout_p)
         dff = jnp.where(k3, dy / keep, 0.0)
     else:
         dff = dy
     midp = midp_s[:]
     mid = jnp.maximum(midp, 0.0)
-    mid_d = _drop(mid, _seed(seeds_ref, 0, 2), idx_f, dropout_p)
+    mid_d = _drop(mid, _seed(seeds_ref, lrow, 2), idx_f, dropout_p)
     dwff2_ref[:] += jax.lax.dot_general(
         mid_d.astype(cdt), dff.astype(cdt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -706,7 +744,7 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
         dff.astype(cdt), wff2_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     if dropout_p > 0.0:
-        k2 = _keep(_seed(seeds_ref, 0, 2), idx_f, dropout_p)
+        k2 = _keep(_seed(seeds_ref, lrow, 2), idx_f, dropout_p)
         dmid = jnp.where(k2, dmid / keep, 0.0)
     dmidp = jnp.where(midp > 0, dmid, 0.0)
     dwff1_ref[:] += jax.lax.dot_general(
@@ -723,7 +761,7 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
 
     # ---- attention sublayer backward ----
     if dropout_p > 0.0:
-        k1 = _keep(_seed(seeds_ref, 0, 1), idx_d, dropout_p)
+        k1 = _keep(_seed(seeds_ref, lrow, 1), idx_d, dropout_p)
         dattn = jnp.where(k1, dx1_s[:] / keep, 0.0)
     else:
         dattn = dx1_s[:]
@@ -829,7 +867,7 @@ def _bwd_kernel(x_ref, dy_ref, kmask_ref,
     dx_ln, da1, db1 = _ln_bwd(x, ln1a_ref[0], x1_s[:])
     dln1a_ref[:] += da1
     dln1b_ref[:] += db1
-    dx_ref[:] = (dx1_s[:] + dx_ln).reshape(tile_b, T, D)
+    return dx1_s[:] + dx_ln
 
 
 def dropout_seed_table(rng, n_layers: int):
@@ -1053,6 +1091,181 @@ def _layer_bwd_call(wl, seeds_row, x_l, dy, m2, *, h, dropout_p, T0, B,
     return outs[0], tuple(outs[1:])
 
 
+def _stack_bwd_kernel(saved_ref, g0_ref, kmask_ref,
+                      ln1a_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref,
+                      bout_ref, ln2a_ref, ln2b_ref, wff1_ref, bff1_ref,
+                      wff2_ref, bff2_ref, seeds_ref,
+                      dx_ref, dln1a_ref, dln1b_ref, dwqkv_ref, dbqkv_ref,
+                      dwout_ref, dbout_ref, dln2a_ref, dln2b_ref,
+                      dwff1_ref, dbff1_ref, dwff2_ref, dbff2_ref,
+                      dy_s, qkv_s, xn1_s, o_s, x1_s, xn2_s, midp_s, dx1_s,
+                      p_s, k0_s, dqkv_s,
+                      *, tile_b: int, T: int, T0: int, D: int, F: int,
+                      h: int, av_group: int, dropout_p: float, cdt,
+                      n_layers: int, b_off: int = 0):
+    """The WHOLE stack's backward as one kernel: grid (n_layers, n_tiles)
+    with the layer dimension OUTER (reversed via the block index maps) and
+    the batch-tile dimension INNER.  dy never round-trips HBM between
+    layers — a [Bp*T, D] fp32 VMEM scratch carries every tile's dy across
+    the layer steps (vs the per-layer path's 2 x (n_layers-1) x Bp*T*D*4
+    bytes of dy traffic + n_layers pallas_call launches).  Weight grads
+    accumulate across the CONSECUTIVE inner tile revisits exactly like the
+    per-layer kernel (zeroed at i == 0, flushed when the layer block
+    changes), so the summation order — and hence the numerics — match the
+    per-layer path at equal tile_b.
+
+    ROUND-4 VERDICT: measured NO WIN (ops/dispatch.py): tile_b=1
+    full-batch −4.2%, 2-chunk tile_b=2 parity (−0.3%) vs the per-layer
+    loop — launches + dy traffic were never the binding cost.  Default
+    stays per-layer; opt-in MMTX_ENC_BWD=stack (+MMTX_ENC_BWD_CHUNKS)."""
+    l, i = pl.program_id(0), pl.program_id(1)
+    lrev = n_layers - 1 - l
+    R = tile_b * T
+
+    @pl.when(i == 0)
+    def _():
+        for ref in (dln1a_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwout_ref,
+                    dbout_ref, dln2a_ref, dln2b_ref, dwff1_ref, dbff1_ref,
+                    dwff2_ref, dbff2_ref):
+            ref[:] = jnp.zeros(ref.shape, ref.dtype)
+
+    @pl.when(l == 0)
+    def _():
+        dy_s[pl.ds(i * R, R), :] = g0_ref[:].reshape(R, D)
+
+    x = saved_ref[:].reshape(R, D)
+    dy = dy_s[pl.ds(i * R, R), :]
+    dx = _layer_bwd_core(
+        x, dy, kmask_ref,
+        ln1a_ref, ln1b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+        ln2a_ref, ln2b_ref, wff1_ref, bff1_ref, wff2_ref, bff2_ref,
+        seeds_ref,
+        dln1a_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+        dln2a_ref, dln2b_ref, dwff1_ref, dbff1_ref, dwff2_ref, dbff2_ref,
+        qkv_s, xn1_s, o_s, x1_s, xn2_s, midp_s, dx1_s, p_s, k0_s, dqkv_s,
+        lrow=lrev, tile_i=i, tile_b=tile_b, T=T, T0=T0, D=D, F=F, h=h,
+        av_group=av_group, dropout_p=dropout_p, cdt=cdt, b_off=b_off)
+    dy_s[pl.ds(i * R, R), :] = dx
+
+    @pl.when(l == n_layers - 1)
+    def _():
+        dx_ref[:] = dx.reshape(tile_b, T, D)
+
+
+def _pick_tile_b_stack(Bp: int, T: int, D: int, F: int, itemsize: int,
+                       h: int, extra_cdt: int = 0) -> int:
+    """tile_b for the whole-stack backward: the per-layer kernel's per-tile
+    footprint (_pick_tile_b_bwd) plus the FIXED [Bp*T, D] fp32 dy carry and
+    the double-buffered grad/weight layer blocks.  Returns 0 when even
+    tile_b=1 does not fit — the caller then falls back to the per-layer
+    path (bigger-T shapes where the dy carry alone eats VMEM)."""
+    per_b = T * (D * ((3 + 1 + 1 + 1 + 3 + extra_cdt) * itemsize
+                      + 2 * 4 + 3 * 4 * 2)
+                 + F * 4 + h * T * (4 + itemsize))
+    wcount = D * 3 * D + D * D + 2 * D * F + 8 * D + 3 * D + F
+    fixed = Bp * T * D * 4 + 2 * wcount * (4 + itemsize)
+    # 14 MB: the same effective envelope the per-layer path compiles at
+    # (~14.1 MB estimated) — at SEND scale this resolves to 2 chunks of
+    # B=16 at tile_b=2 (measured configuration, see dispatch.py)
+    budget = 14 * 1024 * 1024
+    if budget <= fixed:
+        return 0
+    tb = min(8, (budget - fixed) // per_b)
+    while tb and Bp % tb:
+        tb -= 1
+    return int(tb)
+
+
+def _stack_bwd_call(w, seeds, saved, g, m2, *, h, dropout_p, T0, cdt,
+                    av_group, interpret=False, tile_b=None, b_off=0):
+    """Run the fused whole-stack backward (ONE pallas_call for all layers
+    x all batch tiles).  saved: [N, Bp, T, D] fp32 layer inputs from the
+    forward; g: [Bp, T, D] fp32 initial dy; m2: [Bp, T] fp32.  Returns
+    (dx [Bp, T, D] fp32, tuple of 12 stacked [N, ...] weight grads)."""
+    n_layers, Bp, T, D = saved.shape
+    F = w["wff1"].shape[2]
+    if tile_b is None:
+        tile_b = _pick_tile_b_stack(Bp, T, D, F, jnp.dtype(cdt).itemsize, h,
+                                    extra_cdt=_bdq_extra(av_group, 2))
+    n_tiles = Bp // tile_b
+    R = tile_b * T
+    N = n_layers
+
+    def wspec(block):
+        return pl.BlockSpec(
+            (1,) + block,
+            lambda l, i: (N - 1 - l,) + (0,) * len(block),
+            memory_space=pltpu.VMEM)
+
+    gspec = wspec   # grad blocks stream per-layer exactly like weights
+
+    gshapes = [(1, D), (1, D), (D, 3 * D), (1, 3 * D), (D, D), (1, D),
+               (1, D), (1, D), (D, F), (1, F), (F, D), (1, D)]
+    outs = pl.pallas_call(
+        functools.partial(_stack_bwd_kernel, tile_b=tile_b, T=T, T0=T0,
+                          D=D, F=F, h=h, av_group=av_group,
+                          dropout_p=dropout_p, cdt=cdt, n_layers=n_layers,
+                          b_off=b_off),
+        grid=(n_layers, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile_b, T, D),
+                         lambda l, i: (N - 1 - l, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, T, D), lambda l, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b, T), lambda l, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec((1, D)), wspec((1, D)),
+            wspec((D, 3 * D)), wspec((1, 3 * D)),
+            wspec((D, D)), wspec((1, D)),
+            wspec((1, D)), wspec((1, D)),
+            wspec((D, F)), wspec((1, F)),
+            wspec((F, D)), wspec((1, D)),
+            pl.BlockSpec((n_layers, 4), lambda l, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, T, D), lambda l, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [gspec(s) for s in gshapes],
+        out_shape=[jax.ShapeDtypeStruct((Bp, T, D), jnp.float32)] + [
+            jax.ShapeDtypeStruct((n_layers,) + s, jnp.float32)
+            for s in gshapes],
+        scratch_shapes=[
+            pltpu.VMEM((Bp * T, D), jnp.float32),   # dy carry, ALL tiles
+            pltpu.VMEM((R, 3 * D), cdt),    # qkv
+            pltpu.VMEM((R, D), cdt),        # xn1
+            pltpu.VMEM((R, D), cdt),        # o (attn pre-out-proj)
+            pltpu.VMEM((R, D), jnp.float32),  # x1, reused for d_xn1
+            pltpu.VMEM((R, D), cdt),        # xn2, reused for d_o
+            pltpu.VMEM((R, F), jnp.float32),  # ff mid pre-relu
+            pltpu.VMEM((R, D), jnp.float32),  # dx1
+            pltpu.VMEM((h * R, T), jnp.float32),  # p_s: pre-dropout probs
+            pltpu.VMEM((h * R, T) if dropout_p > 0.0 else (8, 128),
+                       cdt),                  # k0_s: keep bits (0/1)
+            pltpu.VMEM((R, 3 * D), cdt),      # dqkv staging for tile dots
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        # model-FLOPs convention: the stack backward = 2x the stack forward
+        # (same basis as the per-layer estimate, n_layers of them)
+        cost_estimate=pl.CostEstimate(
+            flops=n_layers * 2 * (2 * Bp * T * D * (4 * D + 2 * F)
+                                  + 4 * Bp * T * T * D),
+            bytes_accessed=((2 + n_layers) * Bp * T * D * 4
+                            + n_tiles * n_layers
+                            * (4 * D * D + 2 * D * F)
+                            * jnp.dtype(cdt).itemsize),
+            transcendentals=n_layers * Bp * T * T,
+        ),
+        interpret=interpret,
+    )(saved, g, m2.reshape(n_tiles, tile_b, T),
+      w["ln1a"], w["ln1b"], w["wqkv"], w["bqkv"], w["wout"],
+      w["bout"], w["ln2a"], w["ln2b"], w["wff1"], w["bff1"],
+      w["wff2"], w["bff2"], seeds)
+    return outs[0], tuple(outs[1:])
+
+
 def _unpack_layer_grads(gl, D):
     (dln1a, dln1b, dwqkv, dbqkv, dwout, dbout, dln2a, dln2b,
      dwff1, dbff1, dwff2, dbff2) = gl
@@ -1108,14 +1321,61 @@ def _train_bwd_rule(h, dropout_p, res, g):
     while h % av_group:
         av_group -= 1
     dy = jnp.pad(g.astype(jnp.float32), ((0, Bp - B), (0, T - T0), (0, 0)))
-    grads = [None] * n_layers
-    for l in reversed(range(n_layers)):
-        wl = {k: v[l:l + 1] for k, v in w.items() if k != "fnorm"}
-        dy, gl = _layer_bwd_call(
-            wl, seeds[l:l + 1], saved[l], dy, m2, h=h, dropout_p=dropout_p,
-            T0=T0, B=B, cdt=x.dtype, av_group=av_group,
-            interpret=_train_interpret())
-        grads[l] = _unpack_layer_grads(gl, D)
+    F = w["wff1"].shape[2]
+    # MMTX_ENC_BWD=stack|perlayer: whole-stack fused backward (dy
+    # VMEM-resident across layers) vs the per-layer loop.  The stack's dy
+    # carry covers every batch tile, so at full Bp the VMEM budget forces
+    # tile_b=1 — measured SLOWER than the per-layer path's tile_b=2
+    # (9.867 vs 9.470 ms/step, v5e MFT mixed).  Instead the batch runs in
+    # CHUNKS sized so the stack call keeps the per-layer path's tile_b:
+    # n_chunks x the launches (still << n_layers of them) and the dy carry
+    # shrinks by n_chunks.  MMTX_ENC_BWD_CHUNKS forces the chunk count
+    # (A/B + tests); falls back to per-layer when no chunking fits.
+    its = jnp.dtype(x.dtype).itemsize
+    extra = _bdq_extra(av_group, 2)
+    use_stack = os.environ.get("MMTX_ENC_BWD", "perlayer") == "stack"
+    n_chunks = 0
+    if use_stack:
+        tb_ref = _pick_tile_b_bwd(Bp, T, D, F, its, h, extra_cdt=extra)
+        nc_env = os.environ.get("MMTX_ENC_BWD_CHUNKS")
+        for nc in ((int(nc_env),) if nc_env else (1, 2, 4, 8)):
+            bc = Bp // nc
+            if Bp % nc or bc % tb_ref:
+                continue
+            if _pick_tile_b_stack(bc, T, D, F, its, h,
+                                  extra_cdt=extra) >= tb_ref:
+                n_chunks = nc
+                break
+        if n_chunks == 0:
+            use_stack = False
+    if use_stack:
+        wl = {k: v for k, v in w.items() if k != "fnorm"}
+        bc = Bp // n_chunks
+        dxs, gss = [], []
+        for c in range(n_chunks):
+            sl = slice(c * bc, (c + 1) * bc)
+            dxc, gsc = _stack_bwd_call(
+                wl, seeds, saved[:, sl], dy[sl], m2[sl], h=h,
+                dropout_p=dropout_p, T0=T0, cdt=x.dtype,
+                av_group=av_group, interpret=_train_interpret(),
+                tile_b=tb_ref, b_off=c * bc)
+            dxs.append(dxc)
+            gss.append(gsc)
+        dy = dxs[0] if n_chunks == 1 else jnp.concatenate(dxs, axis=0)
+        gs = gss[0] if n_chunks == 1 else tuple(
+            functools.reduce(lambda a, b: a + b, parts)
+            for parts in zip(*gss))
+        grads = [_unpack_layer_grads(tuple(a[l] for a in gs), D)
+                 for l in range(n_layers)]
+    else:
+        grads = [None] * n_layers
+        for l in reversed(range(n_layers)):
+            wl = {k: v[l:l + 1] for k, v in w.items() if k != "fnorm"}
+            dy, gl = _layer_bwd_call(
+                wl, seeds[l:l + 1], saved[l], dy, m2, h=h,
+                dropout_p=dropout_p, T0=T0, B=B, cdt=x.dtype,
+                av_group=av_group, interpret=_train_interpret())
+            grads[l] = _unpack_layer_grads(gl, D)
     dx = dy[:B, :T0, :].astype(x.dtype)
     return (grads, dx, jnp.zeros_like(mask),
             np.zeros(seeds.shape, dtype=jax.dtypes.float0))

@@ -684,6 +684,94 @@ def test_encoder_train_kernel_grad_parity_bf16(_hash_dropout, dropout_p):
                 f"|Δ|={err:.4g} > {bound:.4g}")
 
 
+@pytest.mark.parametrize("dropout_p", [0.0, 0.3])
+def test_encoder_stack_bwd_matches_perlayer_bit_exact(_hash_dropout,
+                                                      monkeypatch,
+                                                      dropout_p):
+    """MMTX_ENC_BWD=stack (whole-stack fused backward, one pallas_call)
+    is the same math as the per-layer loop: at equal tile_b the weight
+    grads accumulate in the same order, so every grad — params AND dx —
+    must be BIT-identical.  Also covers the VMEM fallback: when
+    _pick_tile_b_stack says the dy carry does not fit, stack mode silently
+    uses the per-layer path (same result by construction)."""
+    from multimodal_transformer_tpu.ops.norm import torch_layer_norm
+    from multimodal_transformer_tpu.ops.pallas import encoder as enc
+
+    h = 8
+    params, x, mask, _ = _enc_setup(17, 5, 21, 64, 3, h)
+    rng = jax.random.PRNGKey(7)
+    g = jnp.asarray(np.random.RandomState(4).randn(*x.shape)
+                    .astype(np.float32)) * mask
+
+    monkeypatch.setattr(enc, "_pick_tile_b_bwd", lambda *a, **k: 1)
+
+    def loss(p, xx):
+        seeds = enc.dropout_seed_table(rng, len(p["layers"]))
+        y = enc.encoder_stack_fused_train(p["layers"], xx, mask, h,
+                                          dropout_p, seeds)
+        return jnp.sum(torch_layer_norm(p["norm"], y.astype(xx.dtype)) * g)
+
+    monkeypatch.delenv("MMTX_ENC_BWD", raising=False)
+    want = jax.grad(loss, argnums=(0, 1))(params, x)
+
+    monkeypatch.setenv("MMTX_ENC_BWD", "stack")
+    monkeypatch.setattr(enc, "_pick_tile_b_stack", lambda *a, **k: 1)
+    got = jax.grad(loss, argnums=(0, 1))(params, x)
+    for (ka, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(got),
+                               jax.tree_util.tree_leaves_with_path(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(ka))
+
+    # VMEM fallback: stack requested but does not fit -> per-layer path
+    monkeypatch.setattr(enc, "_pick_tile_b_stack", lambda *a, **k: 0)
+    fb = jax.grad(loss, argnums=(0, 1))(params, x)
+    for (ka, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(fb),
+                               jax.tree_util.tree_leaves_with_path(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(ka))
+
+
+def test_encoder_stack_bwd_chunked_matches_perlayer(_hash_dropout,
+                                                    monkeypatch):
+    """Chunked whole-stack backward (MMTX_ENC_BWD_CHUNKS=2): each chunk's
+    kernel must key its regenerated dropout masks by GLOBAL video index
+    (b_off) — a wrong offset reuses chunk 0's mask bits and silently
+    corrupts chunk 1's grads, which dropout_p=0.3 here would catch.
+    Weight grads differ from the per-layer path only by fp32 summation
+    association ((t0..t1)+(t2..t3) vs sequential), dx is per-video and
+    stays bit-exact."""
+    from multimodal_transformer_tpu.ops.norm import torch_layer_norm
+    from multimodal_transformer_tpu.ops.pallas import encoder as enc
+
+    h = 8
+    params, x, mask, _ = _enc_setup(23, 4, 21, 64, 2, h)
+    rng = jax.random.PRNGKey(9)
+    g = jnp.asarray(np.random.RandomState(6).randn(*x.shape)
+                    .astype(np.float32)) * mask
+
+    monkeypatch.setattr(enc, "_pick_tile_b_bwd", lambda *a, **k: 1)
+    monkeypatch.setattr(enc, "_pick_tile_b_stack", lambda *a, **k: 1)
+
+    def loss(p, xx):
+        seeds = enc.dropout_seed_table(rng, len(p["layers"]))
+        y = enc.encoder_stack_fused_train(p["layers"], xx, mask, h, 0.3,
+                                          seeds)
+        return jnp.sum(torch_layer_norm(p["norm"], y.astype(xx.dtype)) * g)
+
+    monkeypatch.delenv("MMTX_ENC_BWD", raising=False)
+    want_p, want_x = jax.grad(loss, argnums=(0, 1))(params, x)
+
+    monkeypatch.setenv("MMTX_ENC_BWD", "stack")
+    monkeypatch.setenv("MMTX_ENC_BWD_CHUNKS", "2")
+    got_p, got_x = jax.grad(loss, argnums=(0, 1))(params, x)
+    np.testing.assert_array_equal(np.asarray(got_x), np.asarray(want_x))
+    for (ka, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(got_p),
+            jax.tree_util.tree_leaves_with_path(want_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-6, err_msg=str(ka))
+
+
 def test_encoder_train_dispatch_hash_only(_hash_dropout, monkeypatch):
     """encoder_stack dispatches the dropout-training kernel only for the
     hash dropout impl; threefry streams keep the jnp path.  The dispatched
