@@ -105,11 +105,26 @@ the per-layer loop:
   MMTX_ENC_BWD_CHUNKS=n; bit-exact vs per-layer at equal tile_b,
   tests/test_pallas_kernels.py).
 
+MMTX_ENC_EXTRACT=masksum verdict (round 4, v5e, same sessions): the
+lane-aligned mask-and-sum diagonal-block extraction for the grouped
+p@v / dq dots (encoder.py _diag_unstack) is NEUTRAL — train 9.496 vs
+9.470 ms/step, eval 16,137 vs 16,185-16,237 seq/s.  The unaligned d_k=32
+lane slices it replaces were never a measurable cost; default stays
+"slice" (bit-exact either way).
+
 Kernel-path dropout cost (round 4, MMTX_ABLATE_DROPOUT=1, mixed, default
 kernels): 9.470 -> 8.225 ms/step = 1.25 ms/step total dropout cost (jnp
 path: 1.75).  The in-kernel fmix32 generation recovers ~0.5 ms; what
 remains is dominated by the attn-prob site's bits (62% of all mask bits,
 generated in the fwd kernel and regenerated once in the bwd recompute).
+
+Softmax share of the kernel train step (round 4, temporary-kernel-edit
+ablation, numerics intentionally wrong/nan): replacing every softmax in
+the fused encoder train fwd+bwd with a copy measures 9.470 -> 8.733
+ms/step, i.e. ~0.74 ms/step (~8%) is softmax VPU work (exp + two row
+reductions + the bwd's p*(dp - sum) pass across 36 layer-passes/step).
+Together with the 1.25 ms dropout cost this bounds the non-matmul VPU
+overhead of the attention core at ~2.0 ms of the 9.47 ms step.
 
 Overrides: per-kernel MMTX_PALLAS_ATTN / MMTX_PALLAS_WEMBED /
 MMTX_PALLAS_MFN / MMTX_PALLAS_ENCODER (=0/1) beat the global MMTX_PALLAS

@@ -434,7 +434,10 @@ def _diag_unstack(O, g: int, T: int, d_k: int):
         lane-aligned [T, 128] tiles.  Bit-exact (x + 0.0 == x in fp32,
         and the masked terms are exact zeros).
 
-    Default "slice" until the A/B verdict is recorded here."""
+    ROUND-4 VERDICT: NEUTRAL on both paths (v5e, same-session A/Bs) —
+    train 9.496 vs 9.470 ms/step (bench_train --mixed, 300-step chains),
+    eval 16,137 vs 16,185-16,237 seq/s (bench.py) — the unaligned lane
+    slices were never a measurable cost.  Default stays "slice"."""
     if os.environ.get("MMTX_ENC_EXTRACT", "slice") == "slice":
         return jnp.concatenate(
             [O[j * T:(j + 1) * T, j * d_k:(j + 1) * d_k] for j in range(g)],
