@@ -126,6 +126,28 @@ reductions + the bwd's p*(dp - sum) pass across 36 layer-passes/step).
 Together with the 1.25 ms dropout cost this bounds the non-matmul VPU
 overhead of the attention core at ~2.0 ms of the 9.47 ms step.
 
+Backward-recompute closure (round 4, MMTX_ABLATE_BWD_RECOMPUTE=1,
+measurement-only ablation in encoder.py _layer_bwd_core): replacing the
+per-layer backward's ENTIRE forward recompute with near-free fills
+measures 9.470 -> 7.980 ms/step.  1.49 ms/step is therefore the CEILING
+of any "stash forward state instead of recomputing" scheme — reachable
+only if every stashed load were free.  The real HBM price (v5e ~819
+GB/s, 18 layer-passes/step, B=32 T=160 D=256 F=128 h=8):
+  * stash-everything-but-attention (qkv bf16 + o bf16 + x1 fp32 +
+    midp fp32 + xn1/xn2 bf16 = 23.5 MB/layer-pass) costs ~1.0 ms of
+    write+read traffic and still leaves the score dots + softmax +
+    attn-mask regeneration (~0.8-0.9 ms of the 1.49) in the backward;
+  * eliminating those too needs the probs + keep bits ([B,h,T,T] bf16 +
+    int8 = 19.7 MB/layer-pass more): total ~1.9 ms of traffic > the
+    1.49 ms ceiling.
+  -> CLOSED as structurally negative: at these dims recompute-from-VMEM
+  is at least as cheap as reloading from HBM; the per-layer backward's
+  recompute stays.  This, the stack verdict above, and the bdq verdict
+  together close VERDICT r3 item 2's named lever honestly: ~22% train
+  MFU at B=32 is the architecture's shape (D=256 six-layer encoders,
+  VPU-heavy softmax/LN/mask work ~2.6 ms + 4x p@v/grad-dot lane
+  overcompute forced by d_k=32), not an unattacked scheduling gap.
+
 Overrides: per-kernel MMTX_PALLAS_ATTN / MMTX_PALLAS_WEMBED /
 MMTX_PALLAS_MFN / MMTX_PALLAS_ENCODER (=0/1) beat the global MMTX_PALLAS
 (=0/1), which beats the
