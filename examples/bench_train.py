@@ -75,7 +75,9 @@ def main():
     args = ap.parse_args()
 
     from multimodal_transformer_tpu.models import build_model, default_config
-    from multimodal_transformer_tpu.engine.optim import adam_init, adam_update
+    from multimodal_transformer_tpu.engine.optim import select_adam
+    # MMTX_FLAT_ADAM=1 A/Bs the flat-moment optimizer layout e2e here
+    adam_init, adam_update, _ = select_adam()
     from multimodal_transformer_tpu.utils.compile_cache import (
         enable_compile_cache)
     # long-chain scans are compile-dominated on the remote backend; cache

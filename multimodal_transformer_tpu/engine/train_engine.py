@@ -26,7 +26,7 @@ import numpy as np
 from ..data.batching import Batch, bucketed_eval_batches, make_batches
 from ..models import ModelConfig, build_model
 from ..ops.metrics import ccc, ccc_masked, pearson
-from .optim import ReduceLROnPlateau, adam_init, adam_update
+from .optim import ReduceLROnPlateau, select_adam
 
 
 class Engine:
@@ -52,6 +52,10 @@ class Engine:
         init_fn, apply_fn = build_model(cfg)
         self.apply_fn = apply_fn
         self.params = init_fn(jax.random.PRNGKey(seed))
+        # optimizer layout knob (MMTX_FLAT_ADAM, bit-identical params
+        # either way — see engine/optim.py select_adam)
+        adam_init, adam_update, self._opt_reconcile = select_adam()
+        self._adam_update = adam_update
         self.opt_state = adam_init(self.params)
         self.scheduler = ReduceLROnPlateau(lr=lr)
         self._wd = weight_decay
@@ -265,7 +269,7 @@ class Engine:
 
                 (_, batch_loss), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)
-                params, opt_state = adam_update(
+                params, opt_state = self._adam_update(
                     params, grads, opt_state, lr_now, weight_decay=wd)
                 return params, opt_state, batch_loss
 
@@ -449,7 +453,9 @@ class Engine:
         st = {"msgpack": load_train_state,
               "orbax": load_train_state_orbax}[backend](path)
         self.params = st["model"]
-        self.opt_state = st["opt_state"]
+        # a checkpoint written under the other MMTX_FLAT_ADAM layout is
+        # converted to the active one (bit-identical trajectories)
+        self.opt_state = self._opt_reconcile(st["opt_state"], self.params)
         self._epoch = int(st["epoch"])
         sch = st["scheduler"]
         self.scheduler.lr = float(sch["lr"])

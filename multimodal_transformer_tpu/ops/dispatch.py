@@ -148,6 +148,13 @@ GB/s, 18 layer-passes/step, B=32 T=160 D=256 F=128 h=8):
   VPU-heavy softmax/LN/mask work ~2.6 ms + 4x p@v/grad-dot lane
   overcompute forced by d_k=32), not an unattacked scheduling gap.
 
+Optimizer share (round 4, examples/bench_optim.py, v5e): tree-Adam over
+the 350-leaf MFT tree measures 0.437 ms/step vs a 0.267 ms HBM floor —
+XLA horizontally fuses the tree update fine.  A flat-moment layout
+(MMTX_FLAT_ADAM=1, engine/optim.py) LOSES 5.8x to its own per-step
+ravel/unravel copies; tree stays default.  With Adam at 0.44 ms the
+train step's non-model "misc" (~0.8 ms) is now fully accounted.
+
 Overrides: per-kernel MMTX_PALLAS_ATTN / MMTX_PALLAS_WEMBED /
 MMTX_PALLAS_MFN / MMTX_PALLAS_ENCODER (=0/1) beat the global MMTX_PALLAS
 (=0/1), which beats the

@@ -39,6 +39,45 @@ def test_adam_matches_torch():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_flat_adam_bitexact_vs_tree_adam():
+    """flat_adam_update is the SAME math over one concatenated vector
+    (engine/optim.py): param values must match adam_update exactly,
+    leaf by leaf, across coupled steps on a nested mixed-shape tree."""
+    from multimodal_transformer_tpu.engine.optim import (
+        flat_adam_init, flat_adam_update, opt_state_to_flat)
+    rs = np.random.RandomState(1)
+    params = {
+        "lin": {"weight": jnp.asarray(rs.randn(8, 5).astype(np.float32)),
+                "bias": jnp.asarray(rs.randn(5).astype(np.float32))},
+        "norm": [{"a_2": jnp.asarray(rs.randn(7).astype(np.float32))},
+                 {"b_2": jnp.asarray(rs.randn(3, 2).astype(np.float32))}],
+    }
+    st_t = adam_init(params)
+    st_f = flat_adam_init(params)
+    cur_t = cur_f = params
+    for step in range(5):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                rs.randn(*p.shape).astype(np.float32)), cur_t)
+        cur_t, st_t = adam_update(cur_t, grads, st_t, jnp.asarray(1e-2),
+                                  weight_decay=1e-4)
+        cur_f, st_f = flat_adam_update(cur_f, grads, st_f,
+                                       jnp.asarray(1e-2), weight_decay=1e-4)
+    for lt, lf in zip(jax.tree_util.tree_leaves(cur_t),
+                      jax.tree_util.tree_leaves(cur_f)):
+        np.testing.assert_array_equal(np.asarray(lt), np.asarray(lf))
+    # resuming a pre-flat (tree-layout) state mid-run must continue the
+    # same trajectory: convert the tree state and take one more step
+    conv = opt_state_to_flat(st_t, cur_t)
+    g = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rs.randn(*p.shape).astype(np.float32)), cur_t)
+    nxt_t, _ = adam_update(cur_t, g, st_t, jnp.asarray(1e-2))
+    nxt_c, _ = flat_adam_update(cur_f, g, conv, jnp.asarray(1e-2))
+    for lt, lf in zip(jax.tree_util.tree_leaves(nxt_t),
+                      jax.tree_util.tree_leaves(nxt_c)):
+        np.testing.assert_array_equal(np.asarray(lt), np.asarray(lf))
+
+
 def test_plateau_scheduler_matches_torch():
     sched_mine = ReduceLROnPlateau(lr=1.0, patience=3, factor=0.5)
     tp = torch.nn.Parameter(torch.zeros(1))
