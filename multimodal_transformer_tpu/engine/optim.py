@@ -67,8 +67,11 @@ def flat_adam_init(params):
     fused kernel.  Values are BIT-EXACT vs adam_update: concatenation
     does not change elementwise math."""
     n = sum(p.size for p in jax.tree_util.tree_leaves(params))
-    z = jnp.zeros((n,), jnp.float32)
-    return {"step": jnp.zeros((), jnp.int32), "m": z, "v": z}
+    # m and v must be DISTINCT buffers: the train step donates the whole
+    # opt state, and aliased leaves trip "donate the same buffer twice"
+    return {"step": jnp.zeros((), jnp.int32),
+            "m": jnp.zeros((n,), jnp.float32),
+            "v": jnp.zeros((n,), jnp.float32)}
 
 
 def flat_adam_update(params, grads, state, lr, *, beta1=0.9, beta2=0.999,

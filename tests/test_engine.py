@@ -125,6 +125,25 @@ def test_end_to_end_training_reduces_loss(fixture):
     assert len(preds[0]) == va_l[0]
 
 
+def test_engine_flat_adam_knob_identical_training(fixture, monkeypatch):
+    """MMTX_FLAT_ADAM=1 through the real Engine: one epoch of training
+    must produce the SAME params as the default tree layout (the knob
+    only changes optimizer-state memory layout, engine/optim.py)."""
+    cfg, (tr_x, tr_y, tr_l), _ = fixture
+    eng = Engine(cfg, lr=1e-3, seed=1)
+    eng.train_epoch(tr_x, tr_y, tr_l, batch_size=3,
+                    rng=np.random.RandomState(7))
+    monkeypatch.setenv("MMTX_FLAT_ADAM", "1")
+    eng_f = Engine(cfg, lr=1e-3, seed=1)
+    assert eng_f.opt_state["m"].ndim == 1  # the knob took effect
+    eng_f.train_epoch(tr_x, tr_y, tr_l, batch_size=3,
+                      rng=np.random.RandomState(7))
+    for lt, lf in zip(jax.tree_util.tree_leaves(eng.params),
+                      jax.tree_util.tree_leaves(eng_f.params)):
+        np.testing.assert_allclose(np.asarray(lt), np.asarray(lf),
+                                   rtol=0, atol=0)
+
+
 def test_checkpoint_roundtrip(fixture, tmp_path):
     cfg, (tr_x, tr_y, tr_l), _ = fixture
     eng = Engine(cfg, seed=2)
