@@ -148,6 +148,16 @@ GB/s, 18 layer-passes/step, B=32 T=160 D=256 F=128 h=8):
   VPU-heavy softmax/LN/mask work ~2.6 ms + 4x p@v/grad-dot lane
   overcompute forced by d_k=32), not an unattacked scheduling gap.
 
+Front-end train share (round 4, analysis): 1.55 ms/step for ~228 GFLOP
+of conv fwd + dense conv-bwd work (= 74% of the bf16-peak floor) — the
+convs are big MXU-native matmuls and XLA runs them well.  A "sparse
+max-pool backward" (gather the argmax window, skip the [.., F-1, E]
+mask-grad) is STRUCTURALLY WRONG here: the argmax is per output CHANNEL
+(conv1d_window_embed pools after the channel mixing), so the gathered
+"winning pairs" tensor is [B, W, E, D] ≈ 1.8 GB at linguistic scale —
+the dense mask-grad contraction XLA already emits is the efficient
+formulation.  Do not re-attempt.
+
 Optimizer share (round 4, examples/bench_optim.py, v5e): tree-Adam over
 the 350-leaf MFT tree measures 0.437 ms/step vs a 0.267 ms HBM floor —
 XLA horizontally fuses the tree update fine.  A flat-moment layout
