@@ -882,6 +882,44 @@ def test_masked_softmax_semantics(monkeypatch):
     np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-5)
 
 
+def test_ablate_bwd_recompute_branch_smoke(_hash_dropout, monkeypatch):
+    """MMTX_ABLATE_BWD_RECOMPUTE=1 is measurement-only (intentionally
+    WRONG numerics — it replaces the backward's forward recompute with
+    near-free fills to bound any stash scheme, ops/dispatch.py).  This
+    smoke test pins the branch against bitrot: it must still compile and
+    produce finite, correctly-shaped grads, and must NOT be dispatched by
+    default (the default path's grads must differ from the ablated
+    ones)."""
+    from multimodal_transformer_tpu.ops.norm import torch_layer_norm
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        dropout_seed_table, encoder_stack_fused_train)
+
+    h = 8
+    params, x, mask, _ = _enc_setup(13, 5, 21, 64, 2, h)
+    rng = jax.random.PRNGKey(5)
+    g = jnp.asarray(np.random.RandomState(3).randn(*x.shape)
+                    .astype(np.float32)) * mask
+
+    def loss_ker(p, xx):
+        seeds = dropout_seed_table(rng, len(p["layers"]))
+        y = encoder_stack_fused_train(p["layers"], xx, mask, h, 0.3, seeds)
+        return jnp.sum(torch_layer_norm(p["norm"], y.astype(xx.dtype)) * g)
+
+    ref = jax.grad(loss_ker, argnums=(0, 1))(params, x)
+    monkeypatch.setenv("MMTX_ABLATE_BWD_RECOMPUTE", "1")
+    abl = jax.grad(loss_ker, argnums=(0, 1))(params, x)
+    ref_l = jax.tree_util.tree_leaves(ref)
+    abl_l = jax.tree_util.tree_leaves(abl)
+    assert len(ref_l) == len(abl_l)
+    any_diff = False
+    for a, b in zip(abl_l, ref_l):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        assert np.isfinite(np.asarray(a)).all()
+        any_diff |= not np.array_equal(np.asarray(a), np.asarray(b))
+    assert any_diff, ("ablated grads equal the real ones — the knob is "
+                      "either dead or leaking into the default path")
+
+
 # ------------------------------------ fused MFN training path (dropout ON)
 
 def test_mfn_train_fused_forward_matches_scan(_hash_dropout, monkeypatch):
