@@ -59,7 +59,12 @@ def _dropout_impl() -> str:
 def _ablate_dropout() -> bool:
     """Measurement-only ablation knob (see dropout's docstring)."""
     import os
-    return os.environ.get("MMTX_ABLATE_DROPOUT") == "1"
+    if os.environ.get("MMTX_ABLATE_DROPOUT") == "1":
+        from .dispatch import warn_ablation
+        warn_ablation("MMTX_ABLATE_DROPOUT",
+                      "every dropout site becomes an identity")
+        return True
+    return False
 
 
 def hash_seed(rng):

@@ -175,10 +175,30 @@ uses kernels only where a custom VJP exists — callers gate that.
 from __future__ import annotations
 
 import os
+import sys
 
 import jax
 
 _TPU_BACKENDS = ("tpu", "axon")
+
+_warned_ablations: set[str] = set()
+
+
+def warn_ablation(knob: str, detail: str = "") -> None:
+    """Loud one-time (per process, per knob) stderr warning that a
+    measurement-only ablation is active.  The MMTX_ABLATE_* knobs (and
+    MMTX_ENC_SOFTMAX=skip / MMTX_ABLATE_ENC_LN) intentionally produce
+    WRONG numerics — they exist to bound a kernel stage's cost, never to
+    run real training/eval — and a stray env var in a user shell would
+    otherwise corrupt results with zero runtime signal (VERDICT r4 #5).
+    Emitted at trace time from the first call site that honors the knob."""
+    if knob in _warned_ablations:
+        return
+    _warned_ablations.add(knob)
+    print(f"WARNING: {knob} is active — measurement-only ablation with "
+          f"INTENTIONALLY WRONG numerics{': ' + detail if detail else ''}. "
+          "Unset it for any real training or evaluation run.",
+          file=sys.stderr, flush=True)
 
 # measured per-kernel defaults (see module docstring).  "mfn_train" is the
 # dropout-ON fused MFN recurrence (Pallas fwd with in-kernel hash dropout
@@ -189,6 +209,15 @@ _TPU_BACKENDS = ("tpu", "axon")
 # 14.99 ms) -> default ON.
 _DEFAULTS = {"wembed": False, "mfn": True, "attn": False, "encoder": True,
              "mfn_train": True}
+
+# Shape-conditional flash-attention default (VERDICT r4 next #2): at SEND
+# scale the blockwise kernel LOSES (T=160, ~-2x, table above), so the
+# static default is OFF — but beyond the fused encoder kernel's VMEM fit
+# boundary the jnp path materializes [B,h,T,T] scores in HBM and the
+# blockwise form can start to pay.  None = never default-on (pre-sweep
+# state); set from the measured T-sweep (examples/bench_enc_t_sweep.py).
+# Explicit MMTX_PALLAS_ATTN always beats this gate.
+FLASH_ATTN_MIN_T: int | None = None
 
 
 def _on_tpu() -> bool:
@@ -206,8 +235,13 @@ def interpret_default() -> bool:
     return not _on_tpu()
 
 
-def pallas_enabled(kind: str | None = None) -> bool:
-    """Whether the Pallas kernel of the given kind should dispatch."""
+def pallas_enabled(kind: str | None = None, *, t: int | None = None) -> bool:
+    """Whether the Pallas kernel of the given kind should dispatch.
+
+    t: optional sequence length for shape-conditional defaults (currently
+    only kind="attn": default ON at t >= FLASH_ATTN_MIN_T, where the fused
+    encoder kernel no longer fits and flash measurably beats jnp — see the
+    constant's comment).  Env overrides always beat the shape gate."""
     if not _on_tpu():
         return False
     if kind is not None:
@@ -217,4 +251,7 @@ def pallas_enabled(kind: str | None = None) -> bool:
     force = os.environ.get("MMTX_PALLAS")
     if force in ("0", "1"):
         return force == "1"
+    if (kind == "attn" and t is not None and FLASH_ATTN_MIN_T is not None
+            and t >= FLASH_ATTN_MIN_T):
+        return True
     return _DEFAULTS.get(kind, False)

@@ -201,3 +201,41 @@ def test_engine_resume_backend_equivalence(tmp_path):
                 jax.tree_util.tree_leaves_with_path(tree_b)):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
                                           err_msg=str(ka))
+
+
+def test_ablation_knobs_warn_loudly_once():
+    """Every measurement-only ablation knob must announce itself on stderr
+    exactly once per process (VERDICT r4 #5: a stray env var silently
+    corrupting numerics is the failure mode), and a clean environment must
+    never emit the warning."""
+    import subprocess
+    import sys
+
+    prog = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import jax.numpy as jnp\n"
+        "from multimodal_transformer_tpu.ops.basic import dropout\n"
+        "from multimodal_transformer_tpu.ops.pallas.encoder import _ln\n"
+        "x = jnp.ones((4, 8)); k = jax.random.PRNGKey(0)\n"
+        "dropout(x, k, 0.5); dropout(x, k, 0.5)\n"   # once per knob, not call
+        "_ln(x, jnp.ones(8), jnp.zeros(8)); _ln(x, jnp.ones(8), "
+        "jnp.zeros(8))\n"
+        "print('RAN')\n")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    env.pop("MMTX_ABLATE_DROPOUT", None)
+    env.pop("MMTX_ABLATE_ENC_LN", None)
+
+    clean = subprocess.run([sys.executable, "-c", prog], env=env,
+                           capture_output=True, text=True, check=True)
+    assert "RAN" in clean.stdout
+    assert "measurement-only ablation" not in clean.stderr, clean.stderr
+
+    env["MMTX_ABLATE_DROPOUT"] = "1"
+    env["MMTX_ABLATE_ENC_LN"] = "1"
+    hot = subprocess.run([sys.executable, "-c", prog], env=env,
+                         capture_output=True, text=True, check=True)
+    assert "RAN" in hot.stdout
+    assert hot.stderr.count("MMTX_ABLATE_DROPOUT is active") == 1, hot.stderr
+    assert hot.stderr.count("MMTX_ABLATE_ENC_LN is active") == 1, hot.stderr
