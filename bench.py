@@ -87,7 +87,7 @@ def wait_tpu_ready(total_wait_s: float = 900, probe_timeout_s: float = 120):
         time.sleep(60)
 
 
-def measure_tpu(n_chain=(10, 40), n_timed=3, batch=None):
+def measure_tpu(n_chain=(10, 40), n_slopes=3, batch=None):
     """Steady-state eval throughput with CHAINED iterations, slope-timed.
 
     Round-1's loop dispatched n independent async calls and blocked only on
@@ -106,7 +106,13 @@ def measure_tpu(n_chain=(10, 40), n_timed=3, batch=None):
       * timing fetches the result to host (np.asarray) — on the remote
         backend block_until_ready() returns before execution finishes;
       * per-forward time is the SLOPE between two chain lengths, which
-        cancels the constant tunnel RTT + transfer overhead.
+        cancels the constant tunnel RTT + transfer overhead;
+      * the slope is measured n_slopes (>=3) INDEPENDENT times
+        (best-of-2 per chain length per slope to clip RTT spikes) so the
+        artifact carries a variance band — BENCH_r04's -2.3% eval wiggle
+        vs r03 was uninterpretable without one (VERDICT r4 #4).
+
+    Returns (seq_per_s_runs: list, mfu_of_median, flops_per_batch, device).
     """
     import jax
     import jax.numpy as jnp
@@ -166,43 +172,51 @@ def measure_tpu(n_chain=(10, 40), n_timed=3, batch=None):
     # 0.001% noise).  Reusing the chain avoids a third ~10-40 s remote
     # compile that round-2 previously spent on an unchained forward.
     flops_per_batch = None
-    times = []
+    compiled = {}
     for n in (n1, n2):
-        compiled = make_chain(n)
+        compiled[n] = make_chain(n)
         if flops_per_batch is None:
             try:
-                ca = compiled.cost_analysis()
+                ca = compiled[n].cost_analysis()
                 if isinstance(ca, list):
                     ca = ca[0]
                 if ca and ca.get("flops"):
                     flops_per_batch = float(ca["flops"])
             except Exception:
                 pass
-        np.asarray(compiled(params, data, mask))  # warmup + fetch
+        np.asarray(compiled[n](params, data, mask))  # warmup + fetch
+
+    def timed(n):
         best = float("inf")
-        for _ in range(n_timed):
+        for _ in range(2):   # best-of-2 clips tunnel RTT spikes per run
             t0 = time.perf_counter()
-            np.asarray(compiled(params, data, mask))
+            np.asarray(compiled[n](params, data, mask))
             best = min(best, time.perf_counter() - t0)
-        times.append(best)
-    per_fwd = (times[1] - times[0]) / (n2 - n1)
-    seq_per_s = B / per_fwd
+        return best
+
+    runs = []
+    for _ in range(max(n_slopes, 1)):
+        per_fwd = (timed(n2) - timed(n1)) / (n2 - n1)
+        runs.append(B / per_fwd)
+    med = sorted(runs)[len(runs) // 2]
     peak = (V5E_BF16_PEAK if os.environ.get("MMTX_BF16", "1") != "0"
             else V5E_FP32_PEAK)  # MFU against the roofline actually in use
-    mfu = (flops_per_batch * (seq_per_s / B) / peak
+    mfu = (flops_per_batch * (med / B) / peak
            if flops_per_batch else None)
     dev = jax.devices()[0]
-    return seq_per_s, mfu, flops_per_batch, str(dev)
+    return runs, mfu, flops_per_batch, str(dev)
 
 
-def measure_train(n_chain=(10, 60), batch=None):
+def measure_train(n_chain=(10, 60), n_slopes=3, batch=None):
     """Training-step time on the production recipe (mixed precision, all
     default kernels, dropout ON, hash impl) — the examples/bench_train.py
     methodology: steps chain NATURALLY (step i+1 consumes step i's params +
     opt state) in a lax.scan, per-step time is the slope between two scan
-    lengths, timing is by host fetch.  Returns (ms_per_step, train_mfu,
-    flops_per_step).  train_mfu is against the bf16 peak (the matmuls run
-    bf16 under the mixed recipe; fp32 master params/optimizer)."""
+    lengths, timing is by host fetch.  The slope is measured n_slopes
+    independent times (variance band, VERDICT r4 #4).  Returns
+    (ms_per_step_runs: list, train_mfu_of_median, flops_per_step).
+    train_mfu is against the bf16 peak (the matmuls run bf16 under the
+    mixed recipe; fp32 master params/optimizer)."""
     import functools
 
     import jax
@@ -267,24 +281,35 @@ def measure_train(n_chain=(10, 60), batch=None):
         pass
 
     n1, n2 = n_chain
-    times = {}
-    state = (params, opt_state)
+    # one compiled program per chain length; donation threads state through
+    # every run, so repeats stay artifact-free
+    progs, state = {}, (params, opt_state)
     for n in (n1, n2):
-        prog = make(n).lower(*state, jax.random.PRNGKey(0), dtm).compile()
-        p2, o2, loss = prog(*state, jax.random.PRNGKey(0), dtm)
+        progs[n] = make(n).lower(*state, jax.random.PRNGKey(0),
+                                 dtm).compile()
+        p2, o2, loss = progs[n](*state, jax.random.PRNGKey(0), dtm)
         np.asarray(loss)  # warmup + fetch
         state = (p2, o2)
+
+    def timed(n, state, r):
         best = float("inf")
-        for r in range(3):
+        for k in range(2):
             t0 = time.perf_counter()
-            p2, o2, loss = prog(*state, jax.random.PRNGKey(r + 1), dtm)
+            p2, o2, loss = progs[n](*state, jax.random.PRNGKey(10 * r + k),
+                                    dtm)
             np.asarray(loss)
             best = min(best, time.perf_counter() - t0)
             state = (p2, o2)
-        times[n] = best
-    per_step = (times[n2] - times[n1]) / (n2 - n1)
-    mfu = flops / per_step / V5E_BF16_PEAK if flops else None
-    return per_step * 1e3, mfu, flops
+        return best, state
+
+    runs = []
+    for r in range(max(n_slopes, 1)):
+        t1, state = timed(n1, state, 2 * r)
+        t2, state = timed(n2, state, 2 * r + 1)
+        runs.append((t2 - t1) / (n2 - n1) * 1e3)
+    med = sorted(runs)[len(runs) // 2]
+    mfu = flops / (med * 1e-3) / V5E_BF16_PEAK if flops else None
+    return runs, mfu, flops
 
 
 def measure_cpu_baseline(n_iter=2):
@@ -356,13 +381,19 @@ def main():
             "error": "TPU tunnel unreachable (execution probe timed out "
                      "for the whole MMTX_BENCH_WAIT window)"}))
         sys.exit(1)
-    seq_per_s, mfu, flops_per_batch, dev = measure_tpu(
+    runs, mfu, flops_per_batch, dev = measure_tpu(
         n_chain=(max(args.iters // 4, 2), args.iters), batch=B)
+    med = sorted(runs)[len(runs) // 2]
+    # spread: (max-min)/median over the independent slope repeats — the
+    # band that makes round-over-round deltas interpretable (a delta inside
+    # the band is tunnel noise, outside it a real regression)
     line = {
         "metric": f"eval sequences/sec/chip (MFT AVL, batch={B})",
-        "value": round(seq_per_s, 2),
+        "value": round(med, 2),
         "unit": "seq/s/chip",
-        "vs_baseline": round(seq_per_s / baseline, 2),
+        "vs_baseline": round(med / baseline, 2),
+        "spread_pct": round((max(runs) - min(runs)) / med * 100, 2),
+        "runs": [round(r, 1) for r in runs],
     }
     if mfu is not None:
         line["mfu"] = round(mfu, 4)
@@ -372,8 +403,12 @@ def main():
     # default kernels, dropout ON).  MMTX_BENCH_TRAIN=0 skips (eval-only).
     if os.environ.get("MMTX_BENCH_TRAIN", "1") != "0":
         try:
-            train_ms, train_mfu, _ = measure_train(batch=B)
-            line["train_ms_per_step"] = round(train_ms, 3)
+            t_runs, train_mfu, _ = measure_train(batch=B)
+            t_med = sorted(t_runs)[len(t_runs) // 2]
+            line["train_ms_per_step"] = round(t_med, 3)
+            line["train_spread_pct"] = round(
+                (max(t_runs) - min(t_runs)) / t_med * 100, 2)
+            line["train_runs"] = [round(r, 3) for r in t_runs]
             if train_mfu is not None:
                 line["train_mfu"] = round(train_mfu, 4)
         except Exception as e:  # train bench must never zero the eval metric

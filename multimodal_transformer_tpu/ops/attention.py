@@ -72,7 +72,7 @@ def multi_head_attention(params, query, key, value, mask=None, *, h: int,
     from .dispatch import pallas_enabled
     if (mask is not None and mask_mode == "key_query"
             and (rng is None or dropout_p == 0.0)
-            and pallas_enabled("attn")):
+            and pallas_enabled("attn", t=key.shape[1])):
         from .pallas.attention import flash_attention_trainable
         Tk = key.shape[1]
         qf = q.reshape(B * h, Tq, d_k)
@@ -151,7 +151,8 @@ def encoder_stack(params, x, mask=None, *, h: int = 8, rng=None,
     from .dispatch import pallas_enabled
     if (mask is not None and mask_mode == "key_query"
             and x.shape[-1] % h == 0 and x.shape[-1] >= 128
-            and pallas_enabled("encoder")):
+            and pallas_enabled("encoder")
+            and _fused_fits(params, x, h, rng, dropout_p)):
         if rng is None or dropout_p == 0.0:
             # The opt-in MMTX_ENC_SOFTMAX variants alter the KERNEL
             # forward's softmax, but this trainable path's custom_vjp
@@ -198,6 +199,23 @@ def encoder_stack(params, x, mask=None, *, h: int = 8, rng=None,
             return torch_layer_norm(params["norm"], y.astype(x.dtype))
     return _encoder_stack_jnp(params, x, mask, h=h, rng=rng,
                               dropout_p=dropout_p, mask_mode=mask_mode)
+
+
+def _fused_fits(params, x, h, rng, dropout_p) -> bool:
+    """Shape gate for the fused encoder kernels: the [h*T, T] attention
+    working set they keep whole in VMEM is quadratic in T, so beyond the
+    fit boundary (measured on v5e at MFT dims: eval T<=512, dropout-train
+    T<=256 — the backward's prob/keep stashes go first; calibration map in
+    ops/pallas/encoder.py) dispatch DECLINES onto the jnp path — which
+    handles any T (reference analog: torch's dynamic shapes at reference
+    MFT/multiTransformer.py:27-31) — instead of Mosaic-failing on VMEM
+    overflow."""
+    from .pallas.encoder import fused_encoder_fits
+    B, T0, D = x.shape
+    F = params["layers"][0]["feed_forward"]["w_1"]["weight"].shape[0]
+    training = rng is not None and dropout_p > 0.0
+    return fused_encoder_fits(B, T0, D, F, jnp.dtype(x.dtype).itemsize, h,
+                              training=training)
 
 
 def _encoder_stack_jnp(params, x, mask, *, h, rng, dropout_p, mask_mode):

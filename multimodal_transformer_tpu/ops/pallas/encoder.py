@@ -53,7 +53,18 @@ NEG_INF = -1e9
 
 
 def _ln(x, a, b, eps=1e-6):
-    """The quirky reference LayerNorm in fp32 (ops/norm.py semantics)."""
+    """The quirky reference LayerNorm in fp32 (ops/norm.py semantics).
+
+    MMTX_ABLATE_ENC_LN=1 is a measurement-only ablation (WRONG numerics):
+    it replaces every kernel LayerNorm with the bare affine a*x + b —
+    deleting the mean/var row reductions, the sqrt, and the divide — to
+    bound the LN share of kernel time (the eval-plateau closure,
+    ops/dispatch.py)."""
+    if os.environ.get("MMTX_ABLATE_ENC_LN") == "1":
+        from ..dispatch import warn_ablation
+        warn_ablation("MMTX_ABLATE_ENC_LN",
+                      "kernel LayerNorms become bare affines")
+        return a * x + b
     mean = jnp.mean(x, axis=-1, keepdims=True)
     d = x - mean
     n = x.shape[-1]
@@ -177,6 +188,128 @@ def _pick_tile_b(B: int, T: int, D: int, extra_cdt: int = 0) -> int:
     return tb
 
 
+# ------------------------------------------------------- shape fit guards
+# The fused kernels hold each video's FULL [h*T, T] attention working set
+# in VMEM (scores fp32 + probs cdt — deliberately no blockwise machinery,
+# module docstring), so their footprint is quadratic in T while the tile
+# pickers above only model the linear per-video terms the T=160 tuning
+# needed.  At long T the pickers would floor at tile_b=1 and the kernel
+# would Mosaic-fail on VMEM overflow instead of falling back (VERDICT r4
+# missing #2).  These guards model the tile_b=1 footprint INCLUDING the
+# quadratic terms and tell the dispatch gate (ops/attention.py) to decline
+# onto the jnp path — which handles any T — when nothing fits.
+#
+# Budget calibration — MEASURED on v5e, round 5 (bench_enc_t_sweep.py
+# --mode fit --force + /tmp tile probes; bf16, D=256, F=128, h=8, 6
+# layers).  Compile map (ok / FAIL):
+#   eval:   160/tile8 ok, 320/4 ok, 448/2 ok, 448/4 FAIL, 512/1 ok,
+#           512/2 FAIL, 640/1 FAIL
+#   train fwd: 160/4 ok, 320/2 ok, 448/1 ok, 448/2 FAIL, 512/1 ok,
+#           640/1 FAIL
+#   train bwd: 160/2 ok, 160/4 FAIL, 224/1 ok, 256/1 ok, 320/1 FAIL
+# The model below separates ALL 15 points: the quadratic working set
+# prices at ~4 bytes/elem (Mosaic reuses the fp32 scores buffer for the
+# probs — pricing scores+probs separately mispredicts eval 512/1 as
+# no-fit), and each kernel's guard sits between its largest PROVEN-ok
+# modeled footprint and its smallest PROVEN-fail one, so every tile the
+# guard emits maps onto (or below) a compile-verified configuration:
+#   eval:  largest ok 512/1 = 12,856,832 / smallest FAIL 512/2 =
+#          14,953,984; 13.5 MiB also pushes the unprobed 448/3
+#          (14,167,552) down to the proven 448/2
+#   train: ok 512/1 = 14,167,552 / FAIL 448/2 = 14,626,304 -> 14,300,000
+#   bwd:   ok 256/1 = 13,392,896 / FAIL 320/1 = 18,404,352 -> 15 MiB
+
+_GUARD_EVAL = int(13.5 * 1024 * 1024)
+_GUARD_TRAIN = 14_300_000
+_GUARD_BWD = 15 * 1024 * 1024
+
+
+def _weight_bufs(D: int, F: int, itemsize: int) -> int:
+    """Double-buffered per-layer weight blocks (qkv/out/ff1/ff2 + vectors)."""
+    return 2 * (4 * D * D + 2 * D * F + 11 * D + F) * itemsize
+
+
+def _attn_tmps(T: int, D: int, h: int) -> int:
+    """Per-video attention working set: the [h*T, T] fp32 scores buffer
+    (probs overwrite it — measured, see calibration above) + the grouped
+    p@v output block [g*T, g*d_k] fp32.  Reused across the unrolled
+    per-video loop (sequential liveness), so counted once."""
+    d_k = max(D // h, 1)
+    g = max(1, min(h, 128 // d_k))
+    while h % g:
+        g -= 1
+    return h * T * T * 4 + g * T * (g * d_k) * 4
+
+
+def eval_kernel_tile_b(B: int, T: int, D: int, F: int, itemsize: int,
+                       h: int = 8, extra_cdt: int = 0) -> int:
+    """tile_b for encoder_stack_fused, or 0 when even tile_b=1 exceeds the
+    VMEM guard (callers fall back to the jnp path).  T is the PADDED length
+    (sublane multiple).  Identical to _pick_tile_b at SEND scale (T=160 ->
+    tile_b=8, total modeled 8.1 MB)."""
+    tb = _pick_tile_b(B, T, D, extra_cdt)
+    per_b = T * D * (4 + 6 + 2 + 4 + 2 * extra_cdt)
+    fixed = _weight_bufs(D, F, itemsize) + _attn_tmps(T, D, h)
+    while tb >= 1 and tb * per_b + fixed > _GUARD_EVAL:
+        tb -= 1
+    return max(tb, 0)
+
+
+def train_kernel_tile_b(B: int, T: int, D: int, F: int, itemsize: int,
+                        h: int = 8, extra_cdt: int = 0) -> int:
+    """tile_b for the dropout-train forward kernel, or 0 when nothing fits.
+    Identical to _pick_tile_b_train at SEND scale (T=160 -> tile_b=4)."""
+    tb = _pick_tile_b_train(B, T, D, itemsize, extra_cdt)
+    per_b = T * D * (4 + 8 + (3 + 4 + extra_cdt) * itemsize)
+    fixed = _weight_bufs(D, F, itemsize) + _attn_tmps(T, D, h)
+    while tb >= 1 and tb * per_b + fixed > _GUARD_TRAIN:
+        tb -= 1
+    return max(tb, 0)
+
+
+def bwd_kernel_tile_b(B: int, T: int, D: int, F: int, itemsize: int,
+                      h: int, extra_cdt: int = 0) -> int:
+    """tile_b for the per-layer backward kernel, or 0 when nothing fits.
+    _pick_tile_b_bwd's per_b already carries the tile-scaled [h*R, T]
+    prob/keep stashes; the fixed part adds weight+grad blocks and the
+    transient quadratic grad temporaries (dp etc).  Identical to
+    _pick_tile_b_bwd at SEND scale (T=160 -> tile_b=2)."""
+    tb = _pick_tile_b_bwd(B, T, D, F, itemsize, h, extra_cdt)
+    per_b = T * (D * ((3 + 1 + 1 + 1 + 3 + extra_cdt) * itemsize
+                      + 2 * 4 + 3 * 4 * 2)
+                 + F * 4 + h * T * (4 + itemsize))
+    # weight blocks + the 12 revisited grad output blocks (fp32) + dp/dpd
+    # transient quadratic temps in the attention grad loop
+    fixed = (_weight_bufs(D, F, itemsize)
+             + (4 * D * D + 2 * D * F + 11 * D + F) * 4
+             + 2 * h * T * T * 4)
+    while tb >= 1 and tb * per_b + fixed > _GUARD_BWD:
+        tb -= 1
+    return max(tb, 0)
+
+
+def fused_encoder_fits(B: int, T0: int, D: int, F: int, itemsize: int,
+                       h: int = 8, training: bool = False) -> bool:
+    """Dispatch-gate predicate: can the fused kernel path run shape
+    [B, T0, D] (unpadded T0) without overflowing VMEM at tile_b >= 1?
+    training=True additionally requires the dropout-train forward AND the
+    per-layer backward to fit (the custom_vjp needs both)."""
+    T = T0 + (-T0) % 8
+    g = max(1, min(h, 128 // max(D // h, 1)))
+    while h % g:
+        g -= 1
+    extra_f = _bdq_extra(g, 1)
+    if eval_kernel_tile_b(B, T, D, F, itemsize, h, extra_f) < 1:
+        return False
+    if training:
+        if train_kernel_tile_b(B, T, D, F, itemsize, h, extra_f) < 1:
+            return False
+        if bwd_kernel_tile_b(B, T, D, F, itemsize, h,
+                             _bdq_extra(g, 2)) < 1:
+            return False
+    return True
+
+
 def encoder_stack_fused(params, x, mask, *, h: int = 8,
                         tile_b: int | None = None,
                         av_group: int | None = None,
@@ -203,7 +336,21 @@ def encoder_stack_fused(params, x, mask, *, h: int = 8,
     pad_t = (-T0) % 8
     T = T0 + pad_t
     if tile_b is None:
-        tile_b = _pick_tile_b(B, T, D, extra_cdt=_bdq_extra(av_group, 1))
+        if interpret:   # no VMEM limit in interpret mode (CPU tests)
+            tile_b = _pick_tile_b(B, T, D,
+                                  extra_cdt=_bdq_extra(av_group, 1))
+        else:
+            F_ff = params["layers"][0]["feed_forward"]["w_1"][
+                "weight"].shape[0]
+            tile_b = eval_kernel_tile_b(B, T, D, F_ff, x.dtype.itemsize, h,
+                                        _bdq_extra(av_group, 1))
+            if tile_b < 1:
+                raise ValueError(
+                    f"encoder_stack_fused: shape B={B} T={T} D={D} exceeds "
+                    "the VMEM fit guard (the [h*T,T] attention working set "
+                    "is quadratic in T) — use the jnp encoder_stack path "
+                    "(the ops.attention dispatch gate does this "
+                    "automatically)")
     pad_b = (-B) % tile_b
     Bp = B + pad_b
 
@@ -400,6 +547,9 @@ def _masked_softmax(s):
         e = jnp.exp(jnp.minimum(s, 60.0) - 8.0)
         return e / (jnp.sum(e, axis=-1, keepdims=True) + 1e-30)
     if sm == "skip":
+        from ..dispatch import warn_ablation
+        warn_ablation("MMTX_ENC_SOFTMAX=skip",
+                      "kernel softmaxes become uniform scalings")
         return s * (1.0 / s.shape[-1])
     return jax.nn.softmax(s, axis=-1)
 
@@ -706,6 +856,9 @@ def _layer_bwd_core(x, dy, kmask_ref,
 
     # ---- recompute forward through the layer ----
     if os.environ.get("MMTX_ABLATE_BWD_RECOMPUTE") == "1":
+        from ..dispatch import warn_ablation
+        warn_ablation("MMTX_ABLATE_BWD_RECOMPUTE",
+                      "the backward's forward recompute becomes fills")
         # measurement-only ablation (WRONG numerics): replace the whole
         # recompute with near-free fills to bound what ANY forward-state
         # stash scheme could save (= the ceiling where every stash load
@@ -944,8 +1097,19 @@ def _train_fwd_impl(layers, x, mask, *, h, dropout_p, seeds,
     while h % av_group:
         av_group -= 1
     if tile_b is None:
-        tile_b = _pick_tile_b_train(B, T0, D, x.dtype.itemsize,
-                                    extra_cdt=_bdq_extra(av_group, 1))
+        if interpret:
+            tile_b = _pick_tile_b_train(B, T0, D, x.dtype.itemsize,
+                                        extra_cdt=_bdq_extra(av_group, 1))
+        else:
+            F_ff = layers[0]["feed_forward"]["w_1"]["weight"].shape[0]
+            Tp = T0 + (-T0) % 8
+            tile_b = train_kernel_tile_b(B, Tp, D, F_ff, x.dtype.itemsize,
+                                         h, _bdq_extra(av_group, 1))
+            if tile_b < 1:
+                raise ValueError(
+                    f"encoder train kernel: shape B={B} T={Tp} D={D} "
+                    "exceeds the VMEM fit guard — use the jnp path (the "
+                    "ops.attention dispatch gate does this automatically)")
     x_p, m2, T, Bp = _prep_padded(x, mask, tile_b)
     w = _pack_weights({"layers": layers,
                        "norm": {"a_2": jnp.zeros(D), "b_2": jnp.zeros(D)}},
@@ -1035,8 +1199,17 @@ def _layer_bwd_call(wl, seeds_row, x_l, dy, m2, *, h, dropout_p, T0, B,
     Bp, T, D = x_l.shape
     F = wl["wff1"].shape[2]
     if tile_b is None:
-        tile_b = _pick_tile_b_bwd(Bp, T, D, F, jnp.dtype(cdt).itemsize, h,
-                                  extra_cdt=_bdq_extra(av_group, 2))
+        if interpret:
+            tile_b = _pick_tile_b_bwd(Bp, T, D, F, jnp.dtype(cdt).itemsize,
+                                      h, extra_cdt=_bdq_extra(av_group, 2))
+        else:
+            tile_b = bwd_kernel_tile_b(Bp, T, D, F, jnp.dtype(cdt).itemsize,
+                                       h, _bdq_extra(av_group, 2))
+            if tile_b < 1:
+                raise ValueError(
+                    f"encoder bwd kernel: shape B={Bp} T={T} D={D} exceeds "
+                    "the VMEM fit guard — use the jnp path (the "
+                    "ops.attention dispatch gate does this automatically)")
     n_tiles = Bp // tile_b
     R = tile_b * T
 

@@ -99,7 +99,7 @@ def test_mha_dispatch_uses_flash_and_matches(monkeypatch):
     import multimodal_transformer_tpu.ops.dispatch as dispatch
     import multimodal_transformer_tpu.ops.pallas.attention as pattn
 
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: True)
     orig = pattn.flash_attention_masked
     monkeypatch.setattr(
         pattn, "flash_attention_masked",
@@ -114,7 +114,7 @@ def test_mha_dispatch_uses_flash_and_matches(monkeypatch):
     mask[1, 6:] = 0
     got = multi_head_attention(p, x, x, x, jnp.asarray(mask), h=h,
                                mask_mode="key_query")
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: False)
     want = multi_head_attention(p, x, x, x, jnp.asarray(mask), h=h,
                                 mask_mode="key_query")
     np.testing.assert_allclose(np.asarray(got)[0], np.asarray(want)[0],
@@ -267,9 +267,9 @@ def test_mha_training_dispatch_flash_grad_parity(monkeypatch):
                                    rng=jax.random.PRNGKey(0), dropout_p=0.0)
         return jnp.sum((out * mask) ** 2)
 
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: True)
     got = jax.grad(loss)(p)
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: False)
     want = jax.grad(loss)(p)
     jax.tree_util.tree_map(
         lambda g, w: np.testing.assert_allclose(
@@ -384,10 +384,10 @@ def test_encoder_stack_dispatch_uses_fused_and_matches(monkeypatch):
     h = 8
     params, x, mask, mask_np = _enc_setup(3, 4, 13, 128, 2, h)
 
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: True)
     got = encoder_stack(params, x, mask, h=h, rng=None, dropout_p=0.0,
                         mask_mode="key_query")
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: False)
     want = encoder_stack(params, x, mask, h=h, rng=None, dropout_p=0.0,
                          mask_mode="key_query")
     valid = mask_np[..., 0] == 1
@@ -530,9 +530,9 @@ def test_mfn_kernel_dispatch_grad_parity(monkeypatch):
     def loss(p, inputs):
         return jnp.sum(mfn_scan(p, inputs, mods, rng=None) ** 2)
 
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: True)
     got = jax.grad(loss, argnums=(0, 1))(p, inputs)
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: False)
     want = jax.grad(loss, argnums=(0, 1))(p, inputs)
     for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(got),
                                 jax.tree_util.tree_leaves_with_path(want)):
@@ -793,11 +793,11 @@ def test_encoder_train_dispatch_hash_only(_hash_dropout, monkeypatch):
         return orig(*a, **kw)
 
     monkeypatch.setattr(penc, "encoder_stack_fused_train", spy)
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: True)
     got = encoder_stack(params, x, mask, h=h, rng=rng, dropout_p=0.1,
                         mask_mode="key_query")
     assert calls, "hash dropout training should dispatch the fused kernel"
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: False)
     want = encoder_stack(params, x, mask, h=h, rng=rng, dropout_p=0.1,
                          mask_mode="key_query")
     valid = mask_np[..., 0] == 1
@@ -807,7 +807,7 @@ def test_encoder_train_dispatch_hash_only(_hash_dropout, monkeypatch):
 
     calls.clear()
     basic.set_dropout_impl("threefry")
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: True)
     encoder_stack(params, x, mask, h=h, rng=rng, dropout_p=0.1,
                   mask_mode="key_query")
     assert not calls, "threefry dropout must NOT dispatch the fused kernel"
@@ -836,7 +836,7 @@ def test_encoder_train_dispatch_both_dtypes(_hash_dropout, monkeypatch):
         return orig(*a, **kw)
 
     monkeypatch.setattr(penc, "encoder_stack_fused_train", spy)
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: True)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: True)
     monkeypatch.delenv("MMTX_ENC_TRAIN_BF16", raising=False)
     encoder_stack(pb, xb, mb, h=h, rng=rng, dropout_p=0.1,
                   mask_mode="key_query")
@@ -942,7 +942,7 @@ def test_mfn_train_fused_forward_matches_scan(_hash_dropout, monkeypatch):
     monkeypatch.setattr(dispatch, "pallas_enabled",
                         lambda k=None: k == "mfn_train")
     got = mfn_scan(p, inputs, mods, rng=rng)
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: False)
     want = mfn_scan(p, inputs, mods, rng=rng)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
@@ -970,7 +970,7 @@ def test_mfn_train_fused_grad_parity(_hash_dropout, monkeypatch):
     monkeypatch.setattr(dispatch, "pallas_enabled",
                         lambda k=None: k == "mfn_train")
     got = jax.grad(loss, argnums=(0, 1))(p, inputs)
-    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a: False)
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda *a, **k: False)
     want = jax.grad(loss, argnums=(0, 1))(p, inputs)
     for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(got),
                                 jax.tree_util.tree_leaves_with_path(want)):
@@ -996,3 +996,105 @@ def test_interpret_gates_recognize_both_tpu_backends(monkeypatch):
     assert pmfn._interpret() is True
     assert penc._train_interpret() is True
     assert dispatch._on_tpu() is False
+
+
+# ------------------------------------------------ shape fit guards (long T)
+
+
+def test_fit_guard_send_scale_tiles_unchanged():
+    """The footprint-aware tile pickers must reproduce the MEASURED
+    SEND-scale configurations exactly (T=160, D=256, F=128, bf16): eval
+    tile_b=8, train-fwd 4, per-layer bwd 2 — the production kernel shapes
+    every round-2..4 perf number was measured at.  A drift here silently
+    invalidates the dispatch table."""
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        bwd_kernel_tile_b, eval_kernel_tile_b, train_kernel_tile_b)
+
+    assert eval_kernel_tile_b(32, 160, 256, 128, 2) == 8
+    assert train_kernel_tile_b(32, 160, 256, 128, 2) == 4
+    assert bwd_kernel_tile_b(32, 160, 256, 128, 2, 8) == 2
+
+
+def test_fit_guard_declines_long_t():
+    """fused_encoder_fits: True at SEND scale, False once the quadratic
+    [h*T,T] VMEM working set outgrows the guard; the training path (which
+    additionally needs the backward's stashes to fit) never outlives the
+    eval path; fitting is monotone in T."""
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        fused_encoder_fits)
+
+    assert fused_encoder_fits(32, 160, 256, 128, 2)
+    assert fused_encoder_fits(32, 160, 256, 128, 2, training=True)
+    assert not fused_encoder_fits(32, 1280, 256, 128, 2)
+    assert not fused_encoder_fits(32, 1280, 256, 128, 2, training=True)
+
+    ts = (160, 224, 320, 448, 512, 640, 1280)
+    fit_e = [fused_encoder_fits(32, t, 256, 128, 2) for t in ts]
+    fit_t = [fused_encoder_fits(32, t, 256, 128, 2, training=True)
+             for t in ts]
+    assert fit_e == sorted(fit_e, reverse=True), fit_e  # monotone decline
+    assert fit_t == sorted(fit_t, reverse=True), fit_t
+    assert all(e or not t for e, t in zip(fit_e, fit_t)), (fit_e, fit_t)
+
+
+def test_long_t_dispatch_falls_back_to_jnp(monkeypatch):
+    """With the encoder kernel force-enabled, a long-T shape must route to
+    the jnp path (graceful decline, VERDICT r4 missing #2) while SEND-scale
+    shapes still dispatch the kernel — on BOTH the eval and the
+    dropout-training entry points."""
+    import multimodal_transformer_tpu.ops.dispatch as dispatch
+    import multimodal_transformer_tpu.ops.pallas.encoder as penc
+    from multimodal_transformer_tpu.ops.attention import (encoder_init,
+                                                          encoder_stack)
+
+    monkeypatch.setattr(dispatch, "pallas_enabled",
+                        lambda *a, **k: True)
+
+    def boom(*a, **k):
+        raise AssertionError("fused kernel dispatched beyond the fit guard")
+
+    monkeypatch.setattr(penc, "encoder_stack_fused_trainable", boom)
+    monkeypatch.setattr(penc, "encoder_stack_fused_train", boom)
+
+    h = 8
+    params = encoder_init(jax.random.PRNGKey(0), 128, 64, 1)
+    rs = np.random.RandomState(0)
+
+    def run(T, rng):
+        x = jnp.asarray(rs.randn(1, T, 128).astype(np.float32))
+        mask = np.ones((1, T, 1), np.float32)
+        mask[0, T - 5:] = 0.0
+        return encoder_stack(params, x, jnp.asarray(mask), h=h, rng=rng,
+                             dropout_p=0.1 if rng is not None else 0.0,
+                             mask_mode="key_query")
+
+    # long T: declines onto jnp (finite output, kernels never touched)
+    assert np.isfinite(np.asarray(run(1280, None))).all()
+    assert np.isfinite(np.asarray(run(1280, jax.random.PRNGKey(1)))).all()
+    # SEND-scale T: the kernels ARE dispatched (the sentinel raises)
+    with pytest.raises(AssertionError, match="beyond the fit guard"):
+        run(160, None)
+    with pytest.raises(AssertionError, match="beyond the fit guard"):
+        run(160, jax.random.PRNGKey(1))
+
+
+def test_flash_attn_shape_gate(monkeypatch):
+    """pallas_enabled("attn", t=...): static default OFF, shape-conditional
+    ON past the measured crossover (when set), env overrides beat both."""
+    import multimodal_transformer_tpu.ops.dispatch as dispatch
+
+    monkeypatch.setattr(dispatch, "_on_tpu", lambda: True)
+    monkeypatch.delenv("MMTX_PALLAS_ATTN", raising=False)
+    monkeypatch.delenv("MMTX_PALLAS", raising=False)
+
+    assert not dispatch.pallas_enabled("attn")          # static default OFF
+    if dispatch.FLASH_ATTN_MIN_T is None:
+        assert not dispatch.pallas_enabled("attn", t=10 ** 6)
+    else:
+        assert dispatch.pallas_enabled("attn", t=dispatch.FLASH_ATTN_MIN_T)
+        assert not dispatch.pallas_enabled(
+            "attn", t=dispatch.FLASH_ATTN_MIN_T - 1)
+    monkeypatch.setenv("MMTX_PALLAS_ATTN", "0")
+    assert not dispatch.pallas_enabled("attn", t=10 ** 6)  # env beats gate
+    monkeypatch.setenv("MMTX_PALLAS_ATTN", "1")
+    assert dispatch.pallas_enabled("attn", t=1)
