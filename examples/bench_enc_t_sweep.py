@@ -48,10 +48,13 @@ ENV = {
     "flash": {"MMTX_PALLAS_ENCODER": "0", "MMTX_PALLAS_ATTN": "1"},
 }
 
-EVAL_CHAINS = {160: (50, 400), 320: (30, 180), 448: (20, 120),
-               512: (15, 90), 640: (10, 60), 1280: (5, 25)}
-TRAIN_CHAINS = {160: (10, 60), 320: (8, 40), 448: (6, 30),
-                512: (5, 25), 640: (4, 20), 1280: (3, 10)}
+# n2-n1 >= 300 at EVERY T (repo timing rule: sub-ms stages need long
+# chains; the first sweep attempt with 20-150-step deltas produced
+# negative slopes from tunnel RTT jitter)
+EVAL_CHAINS = {160: (50, 400), 320: (50, 400), 448: (50, 400),
+               512: (50, 400), 640: (50, 400), 1280: (30, 330)}
+TRAIN_CHAINS = {160: (10, 110), 256: (10, 110), 320: (10, 110),
+                448: (8, 88), 512: (8, 80), 640: (6, 56), 1280: (4, 24)}
 
 
 def _chains(table, T):

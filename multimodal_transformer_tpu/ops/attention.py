@@ -174,7 +174,7 @@ def encoder_stack(params, x, mask=None, *, h: int = 8, rng=None,
         _bf16_force = os.environ.get("MMTX_ENC_TRAIN_BF16")  # A/B override
         _dtype_ok = True if _bf16_force is None else (
             _bf16_force == "1" or x.dtype == jnp.float32)
-        if _dropout_impl() == "hash" and _dtype_ok:
+        if _dropout_impl() in ("hash", "hash4") and _dtype_ok:
             # REAL dropout-training path: Pallas forward with in-kernel
             # fmix32 masks + per-layer fused Pallas backward (no remat) —
             # same mask bits as this module's jnp path, so it is a drop-in

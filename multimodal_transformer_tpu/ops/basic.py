@@ -28,7 +28,7 @@ def mlp_relu(p1, p2, x, rng=None, dropout_p=0.0):
     return linear(p2, h)
 
 
-_DROPOUT_IMPLS = ("hash", "threefry")
+_DROPOUT_IMPLS = ("hash", "hash4", "threefry")
 _dropout_impl_override: str | None = None
 
 
@@ -107,6 +107,44 @@ def hash_keep_mask(seed, idx, p: float):
     return h >= threshold
 
 
+def hash4_threshold(p: float) -> int:
+    """8-bit keep threshold for the hash4 impl: drop iff byte < t8.
+
+    t8 = round(p * 256) quantizes the drop probability to 1/256 steps, so
+    the realized keep probability differs from (1 - p) by at most 1/512
+    (= 0.2 pp; <= 0.22% RELATIVE for every p <= 0.5 used by the reference
+    — p=0.1 keeps 0.8984 vs 0.9, p=0.3 keeps 0.6992 vs 0.7).  The 1/(1-p)
+    inverted-dropout scale keeps using the NOMINAL p, so activations carry
+    the same <=0.22% expectation bias — documented, measured-knob
+    territory, not silent (hash4 is opt-in)."""
+    return min(int(round(p * 256.0)), 255)
+
+
+def hash4_keep_rows(seed, n_rows: int, width: int, p: float):
+    """Multi-bit hash4 keep mask for a [n_rows, width] site
+    (width % 4 == 0): ONE fmix32 evaluation yields FOUR keep bytes, so
+    mask generation runs on a 4x smaller grid than hash_keep_mask — the
+    attn-prob site is 62% of all mask bits and its fmix32 generation is
+    most of the measured 1.25 ms/step kernel-path dropout cost
+    (ops/dispatch.py).  Layout is BLOCKED along the last axis: column
+    c in block k = c // (width/4) takes byte k of h(row4 + c % (width/4)),
+    where row4 = row * width/4 — pure lane concats, no interleave
+    relayouts, and reproducible inside a Pallas kernel from (seed, global
+    row, column) alone (ops/pallas/encoder.py mirrors it)."""
+    w4 = width // 4
+    idx4 = jnp.arange(n_rows * w4, dtype=jnp.uint32).reshape(n_rows, w4)
+    h = idx4 * jnp.uint32(0x9E3779B1) + seed
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    t8 = jnp.uint32(hash4_threshold(p))
+    return jnp.concatenate(
+        [((h >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)) >= t8
+         for k in range(4)], axis=-1)
+
+
 def dropout(x, rng, p: float):
     """Inverted dropout, identical to torch nn.Dropout train-mode scaling.
 
@@ -118,6 +156,12 @@ def dropout(x, rng, p: float):
         already receives a distinct split key), ~an order of magnitude
         cheaper to generate than threefry, whose bit-generation dominated
         the TPU train step (1.86x step A/B, examples/bench_train.py);
+      - "hash4" (opt-in): FOUR keep bits per fmix32 evaluation via 8-bit
+        byte thresholds (hash4_keep_rows) — quarter the mask-generation
+        work for a documented <=1/512 absolute keep-probability
+        quantization bias; sites whose last dim is not a multiple of 4
+        degrade to the per-element "hash" stream.  A DIFFERENT mask
+        stream than "hash" (opt-in knob, like threefry);
       - "threefry": jax.random.bernoulli on the passed key — the round-1
         behavior, for reproducing old training runs.
     Either way dropout is deterministic in (key, shape) and identical on
@@ -130,7 +174,14 @@ def dropout(x, rng, p: float):
     if rng is None or p == 0.0 or _ablate_dropout():
         return x
     keep = 1.0 - p
-    if _dropout_impl() == "hash":
+    impl = _dropout_impl()
+    if impl == "hash4" and x.ndim >= 1 and x.shape[-1] % 4 == 0:
+        w = x.shape[-1]
+        mask = hash4_keep_rows(hash_seed(rng), x.size // w, w,
+                               p).reshape(x.shape)
+    elif impl in ("hash", "hash4"):
+        # hash4 on a width % 4 != 0 site degrades to the per-element hash
+        # stream (same degradation inside the kernels — bits stay paired)
         idx = jnp.arange(x.size, dtype=jnp.uint32).reshape(x.shape)
         mask = hash_keep_mask(hash_seed(rng), idx, p)
     else:

@@ -122,7 +122,10 @@ def mfn_scan(params, inputs, mods, *, rng=None):
     # module's hoisted-hash scan below) + a full reverse-recurrence Pallas
     # backward with VMEM-resident grad accumulators.  Hash impl only —
     # threefry mask bits are not kernel-regenerable.
-    if (rng is not None and _dropout_impl() == "hash"
+    # hash4 changes only basic.dropout's generic sites (multi-bit); the
+    # MFN gamma sites pair with _drop_seeded's per-element stream under
+    # BOTH hash impls, so the fused path serves hash4 unchanged.
+    if (rng is not None and _dropout_impl() in ("hash", "hash4")
             and pallas_enabled("mfn_train")):
         all_hs, all_mems = _mfn_states_fused_path(params, inputs,
                                                   tuple(mods), rng)
@@ -167,7 +170,9 @@ def _mfn_states_scan(params, inputs, mods, *, rng=None):
     # collapsed to their fmix32 seeds (what basic.dropout's hash path
     # computes from each key), so the body carries two uint32 scalars per
     # step and zero threefry work.
-    hoist_hash = rng is not None and _dropout_impl() == "hash"
+    # hash4 takes the same hoisted-seed gamma path as hash (per-element
+    # bits — the multi-bit layout lives only in basic.dropout's sites)
+    hoist_hash = rng is not None and _dropout_impl() in ("hash", "hash4")
     if rng is not None:
         step_rngs = jax.random.split(rng, T)
         sub = jax.vmap(lambda k: jax.random.split(k, 2))(step_rngs)

@@ -463,16 +463,86 @@ encoder_stack_fused_trainable.defvjp(_fwd, _bwd)
 # hash-dropout path, so forward values and gradients on valid positions
 # match the jnp encoder_stack under MMTX_DROPOUT_IMPL=hash.
 
-def _keep(seed_u32, idx_u32, p: float):
-    """fmix32 Bernoulli(1-p) keep mask — MUST mirror basic.hash_keep_mask."""
+def _fmix(idx_u32, seed_u32):
+    """murmur3 fmix32 over a position counter with the seed injected up
+    front — MUST mirror basic.hash_keep_mask's mixing."""
     h = idx_u32 * jnp.uint32(0x9E3779B1) + seed_u32
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x85EBCA6B)
     h = h ^ (h >> 13)
     h = h * jnp.uint32(0xC2B2AE35)
     h = h ^ (h >> 16)
+    return h
+
+
+def _keep(seed_u32, idx_u32, p: float):
+    """fmix32 Bernoulli(1-p) keep mask — MUST mirror basic.hash_keep_mask."""
     threshold = jnp.uint32(min(int(round(p * 2.0 ** 32)), 2 ** 32 - 1))
-    return h >= threshold
+    return _fmix(idx_u32, seed_u32) >= threshold
+
+
+def _hash4_sites() -> bool:
+    """Trace-time: the hash4 multi-bit dropout impl is selected — the
+    kernels must then generate basic.hash4_keep_rows' block-layout bits
+    so the fwd/bwd kernel paths stay bit-paired with the jnp path."""
+    from ..basic import _dropout_impl
+    return _dropout_impl() == "hash4"
+
+
+def _keep4(seed, idx4, p: float):
+    """Four keep bytes per fmix32 evaluation (basic.hash4_keep_rows block
+    layout): [rows, w4] quarter indices -> [rows, 4*w4] keep mask, block
+    k = byte k of the hash, lane-concatenated."""
+    from ..basic import hash4_threshold
+    h = _fmix(idx4, seed)
+    t8 = jnp.uint32(hash4_threshold(p))
+    return jnp.concatenate(
+        [((h >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)) >= t8
+         for k in range(4)], axis=-1)
+
+
+def _row_keep(seed, tile_i, tile_b: int, T: int, T0: int, width: int,
+              p: float, b_off: int = 0):
+    """Keep mask for a [B, T0, width] row dropout site over this tile's
+    [tile_b*T, width] rows, honoring the dropout impl: per-element fmix32
+    ("hash"), or 4-bits-per-hash ("hash4"; a width % 4 != 0 site degrades
+    to the per-element stream exactly like basic.dropout does)."""
+    if _hash4_sites() and width % 4 == 0:
+        w4 = width // 4
+        bloc = jax.lax.broadcasted_iota(jnp.int32, (tile_b, T, w4), 0)
+        t = jax.lax.broadcasted_iota(jnp.int32, (tile_b, T, w4), 1)
+        c4 = jax.lax.broadcasted_iota(jnp.int32, (tile_b, T, w4), 2)
+        gb = b_off + tile_i * tile_b + bloc
+        idx4 = ((gb * T0 + t) * w4 + c4).reshape(tile_b * T,
+                                                 w4).astype(jnp.uint32)
+        return _keep4(seed, idx4, p)
+    return _keep(seed, _row_site_idx(tile_i, tile_b, T, T0, width,
+                                     b_off=b_off), p)
+
+
+def _attn_keep(seed, gb, h: int, T: int, T0: int, p: float,
+               head0: int = 0, nh: int | None = None):
+    """Keep mask for the [B, h, T0, T0] attn-prob dropout site of video gb
+    in the packed [nh*T, T] score layout, impl-aware like _row_keep.  This
+    site is 62% of all mask bits — the hash4 impl's main target."""
+    nh = h if nh is None else nh
+    if _hash4_sites() and T0 % 4 == 0:
+        from ..basic import hash4_threshold
+        T0q, Tq = T0 // 4, T // 4
+        head = head0 + jax.lax.broadcasted_iota(jnp.int32, (nh, T, Tq), 0)
+        tq = jax.lax.broadcasted_iota(jnp.int32, (nh, T, Tq), 1)
+        c4 = jax.lax.broadcasted_iota(jnp.int32, (nh, T, Tq), 2)
+        idx4 = (((gb * h + head) * T0 + tq) * T0q + c4).reshape(
+            nh * T, Tq).astype(jnp.uint32)
+        hh = _fmix(idx4, seed)
+        t8 = jnp.uint32(hash4_threshold(p))
+        m = jnp.concatenate(
+            [(((hh >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)) >= t8)[:, :T0q]
+             for k in range(4)], axis=-1)
+        if T > T0:
+            m = jnp.pad(m, ((0, 0), (0, T - T0)))
+        return m
+    return _keep(seed, _attn_site_idx(gb, h, T, T0, head0, nh), p)
 
 
 def _row_site_idx(tile_i, tile_b: int, T: int, T0: int, width: int,
@@ -509,6 +579,17 @@ def _drop(x, seed, idx, p: float):
     if p == 0.0:
         return x
     return jnp.where(_keep(seed, idx, p), x / (1.0 - p), 0.0)
+
+
+def _drop_site(x, seed, tile_i, tile_b: int, T: int, T0: int, p: float,
+               b_off: int = 0):
+    """Inverted dropout on a [tile_b*T, width] row site with impl-aware
+    mask bits (_row_keep); identity when p == 0."""
+    if p == 0.0:
+        return x
+    keep = _row_keep(seed, tile_i, tile_b, T, T0, x.shape[-1], p,
+                     b_off=b_off)
+    return jnp.where(keep, x / (1.0 - p), 0.0)
 
 
 def _seed(seeds_ref, l, site: int):
@@ -693,7 +774,7 @@ def _attention_tile(qkv_s, kmask_ref, *, tile_b, T, D, h,
             p_out[b * h * T:(b + 1) * h * T, :] = p
         if dropout_p > 0.0:
             gb = b_off + tile_i * tile_b + b
-            k0 = _keep(seed0, _attn_site_idx(gb, h, T, T0), dropout_p)
+            k0 = _attn_keep(seed0, gb, h, T, T0, dropout_p)
             if k0_out is not None:
                 k0_out[b * h * T:(b + 1) * h * T, :] = k0.astype(
                     k0_out.dtype)
@@ -746,18 +827,18 @@ def _train_kernel(x_ref, kmask_ref,
         prescaled_q=True)
     attn = jnp.dot(attn_c.astype(cdt), wout_ref[0],
                    preferred_element_type=jnp.float32) + bout_ref[0]
-    idx_d = _row_site_idx(i, tile_b, T, T0, D)
-    x = x + _drop(attn, _seed(seeds_ref, l, 1), idx_d, dropout_p)
+    x = x + _drop_site(attn, _seed(seeds_ref, l, 1), i, tile_b, T, T0,
+                       dropout_p)
     xn = _ln(x, ln2a_ref[0], ln2b_ref[0])
     mid = jnp.dot(xn.astype(cdt), wff1_ref[0],
                   preferred_element_type=jnp.float32) + bff1_ref[0]
     mid = jnp.maximum(mid, 0.0)
-    F = mid.shape[-1]
-    mid = _drop(mid, _seed(seeds_ref, l, 2),
-                _row_site_idx(i, tile_b, T, T0, F), dropout_p)
+    mid = _drop_site(mid, _seed(seeds_ref, l, 2), i, tile_b, T, T0,
+                     dropout_p)
     ff = jnp.dot(mid.astype(cdt), wff2_ref[0],
                  preferred_element_type=jnp.float32) + bff2_ref[0]
-    x_s[:] = x + _drop(ff, _seed(seeds_ref, l, 3), idx_d, dropout_p)
+    x_s[:] = x + _drop_site(ff, _seed(seeds_ref, l, 3), i, tile_b, T, T0,
+                            dropout_p)
 
     @pl.when(l == n_layers - 1)
     def _():
@@ -851,8 +932,10 @@ def _layer_bwd_core(x, dy, kmask_ref,
     d_k = D // h
     inv_sqrt_dk = jnp.float32(1.0) / jnp.sqrt(jnp.float32(d_k))
     keep = 1.0 - dropout_p
-    idx_d = _row_site_idx(i, tile_b, T, T0, D, b_off=b_off)
-    idx_f = _row_site_idx(i, tile_b, T, T0, F, b_off=b_off)
+
+    def row_keep(site: int, width: int):
+        return _row_keep(_seed(seeds_ref, lrow, site), i, tile_b, T, T0,
+                         width, dropout_p, b_off=b_off)
 
     # ---- recompute forward through the layer ----
     if os.environ.get("MMTX_ABLATE_BWD_RECOMPUTE") == "1":
@@ -898,7 +981,8 @@ def _layer_bwd_core(x, dy, kmask_ref,
         o_s[:] = attn_c.astype(cdt)
         attn = jnp.dot(o_s[:], wout_ref[0],
                        preferred_element_type=jnp.float32) + bout_ref[0]
-        x1 = x + _drop(attn, _seed(seeds_ref, lrow, 1), idx_d, dropout_p)
+        x1 = x + _drop_site(attn, _seed(seeds_ref, lrow, 1), i, tile_b, T,
+                            T0, dropout_p, b_off=b_off)
         x1_s[:] = x1
         xn2 = _ln(x1, ln2a_ref[0], ln2b_ref[0])
         xn2_s[:] = xn2.astype(cdt)
@@ -908,13 +992,14 @@ def _layer_bwd_core(x, dy, kmask_ref,
 
     # ---- feed-forward sublayer backward ----
     if dropout_p > 0.0:
-        k3 = _keep(_seed(seeds_ref, lrow, 3), idx_d, dropout_p)
+        k3 = row_keep(3, D)
         dff = jnp.where(k3, dy / keep, 0.0)
     else:
         dff = dy
     midp = midp_s[:]
     mid = jnp.maximum(midp, 0.0)
-    mid_d = _drop(mid, _seed(seeds_ref, lrow, 2), idx_f, dropout_p)
+    mid_d = _drop_site(mid, _seed(seeds_ref, lrow, 2), i, tile_b, T, T0,
+                       dropout_p, b_off=b_off)
     dwff2_ref[:] += jax.lax.dot_general(
         mid_d.astype(cdt), dff.astype(cdt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -923,7 +1008,7 @@ def _layer_bwd_core(x, dy, kmask_ref,
         dff.astype(cdt), wff2_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     if dropout_p > 0.0:
-        k2 = _keep(_seed(seeds_ref, lrow, 2), idx_f, dropout_p)
+        k2 = row_keep(2, F)
         dmid = jnp.where(k2, dmid / keep, 0.0)
     dmidp = jnp.where(midp > 0, dmid, 0.0)
     dwff1_ref[:] += jax.lax.dot_general(
@@ -940,7 +1025,7 @@ def _layer_bwd_core(x, dy, kmask_ref,
 
     # ---- attention sublayer backward ----
     if dropout_p > 0.0:
-        k1 = _keep(_seed(seeds_ref, lrow, 1), idx_d, dropout_p)
+        k1 = row_keep(1, D)
         dattn = jnp.where(k1, dx1_s[:] / keep, 0.0)
     else:
         dattn = dx1_s[:]

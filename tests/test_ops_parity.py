@@ -412,3 +412,38 @@ def test_hash_dropout_semantics():
         set_dropout_impl(None)
     with pytest.raises(ValueError):
         set_dropout_impl("xorshift")
+
+
+def test_hash4_dropout_impl():
+    """hash4 (VERDICT r4 next #7): 4 keep bits per fmix32 evaluation with
+    an 8-bit quantized threshold.  Checks: documented quantization bias
+    bound (<= 1/512 absolute on the keep probability), realized keep rate,
+    determinism, and the documented degradation to the per-element hash
+    stream on sites whose last dim is not a multiple of 4."""
+    from multimodal_transformer_tpu.ops.basic import (dropout,
+                                                      hash4_threshold,
+                                                      set_dropout_impl)
+
+    for p in (0.1, 0.2, 0.3, 0.4, 0.5):
+        t8 = hash4_threshold(p)
+        assert abs(t8 / 256.0 - p) <= 1 / 512 + 1e-12, p
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((256, 64), jnp.float32)
+    set_dropout_impl("hash4")
+    try:
+        y = np.asarray(dropout(x, rng, 0.3))
+        keep_rate = (y != 0).mean()
+        # realized keep prob = 1 - 77/256 = 0.69922 (quantized)
+        assert abs(keep_rate - (1 - 77 / 256)) < 0.02, keep_rate
+        np.testing.assert_array_equal(y, np.asarray(dropout(x, rng, 0.3)))
+        # kept elements carry the exact nominal inverted-dropout scale
+        np.testing.assert_allclose(y[y != 0], 1.0 / 0.7, rtol=1e-6)
+
+        xw = jnp.ones((64, 30), jnp.float32)   # 30 % 4 != 0
+        y4 = np.asarray(dropout(xw, rng, 0.3))
+        set_dropout_impl("hash")
+        yh = np.asarray(dropout(xw, rng, 0.3))
+        np.testing.assert_array_equal(y4, yh)
+    finally:
+        set_dropout_impl(None)

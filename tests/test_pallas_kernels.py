@@ -1098,3 +1098,58 @@ def test_flash_attn_shape_gate(monkeypatch):
     assert not dispatch.pallas_enabled("attn", t=10 ** 6)  # env beats gate
     monkeypatch.setenv("MMTX_PALLAS_ATTN", "1")
     assert dispatch.pallas_enabled("attn", t=1)
+
+
+@pytest.fixture
+def _hash4_dropout():
+    from multimodal_transformer_tpu.ops import basic
+    basic.set_dropout_impl("hash4")
+    yield
+    basic.set_dropout_impl(None)
+
+
+@pytest.mark.parametrize("T", [24, 21])
+def test_encoder_train_kernel_hash4_parity(_hash4_dropout, T):
+    """hash4 multi-bit dropout through the fused train kernels: the
+    in-kernel generators (_row_keep/_attn_keep block layout) must
+    reproduce basic.hash4_keep_rows' bits exactly, so forward values AND
+    grads match the jnp path.  T=24 exercises the multi-bit attn site
+    (T0 % 4 == 0); T=21 exercises its documented degradation to the
+    per-element stream (row sites stay multi-bit — D/F are 4-multiples)."""
+    from multimodal_transformer_tpu.ops.attention import encoder_stack
+    from multimodal_transformer_tpu.ops.norm import torch_layer_norm
+    from multimodal_transformer_tpu.ops.pallas.encoder import (
+        dropout_seed_table, encoder_stack_fused_train)
+
+    h = 8
+    params, x, mask, mask_np = _enc_setup(29, 5, T, 64, 2, h)
+    rng = jax.random.PRNGKey(42)
+    g = jnp.asarray(np.random.RandomState(3).randn(*x.shape)
+                    .astype(np.float32)) * mask
+
+    want_y = encoder_stack(params, x, mask, h=h, rng=rng, dropout_p=0.3,
+                           mask_mode="key_query")
+    seeds = dropout_seed_table(rng, 2)
+    y = encoder_stack_fused_train(params["layers"], x, mask, h, 0.3, seeds)
+    got_y = torch_layer_norm(params["norm"], y.astype(x.dtype))
+    valid = mask_np[..., 0] == 1
+    np.testing.assert_allclose(np.asarray(got_y)[valid],
+                               np.asarray(want_y)[valid], rtol=1e-4,
+                               atol=2e-5)
+
+    def loss_jnp(p, xx):
+        yy = encoder_stack(p, xx, mask, h=h, rng=rng, dropout_p=0.3,
+                           mask_mode="key_query")
+        return jnp.sum(yy * g)
+
+    def loss_ker(p, xx):
+        s = dropout_seed_table(rng, len(p["layers"]))
+        yy = encoder_stack_fused_train(p["layers"], xx, mask, h, 0.3, s)
+        return jnp.sum(torch_layer_norm(p["norm"], yy.astype(xx.dtype)) * g)
+
+    want = jax.grad(loss_jnp, argnums=(0, 1))(params, x)
+    got = jax.grad(loss_ker, argnums=(0, 1))(params, x)
+    for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(got),
+                                jax.tree_util.tree_leaves_with_path(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-4, err_msg=str(ka))
