@@ -138,6 +138,10 @@ def bench_train(params, B, T, path):
     from multimodal_transformer_tpu.ops.attention import encoder_stack
 
     set_path(path)
+    # fresh device copy: the chained program donates params/opt_state, so
+    # the caller's shared tree must not be the donated buffer (the next
+    # (T, path) cell would read deleted arrays)
+    params = jax.tree_util.tree_map(jnp.array, params)
     x, mask = make_inputs(B, T, jnp.bfloat16)
     rs = np.random.RandomState(1)
     target = jnp.asarray(rs.randn(B, T, D).astype(np.float32))

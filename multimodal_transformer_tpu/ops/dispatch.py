@@ -214,10 +214,33 @@ _DEFAULTS = {"wembed": False, "mfn": True, "attn": False, "encoder": True,
 # scale the blockwise kernel LOSES (T=160, ~-2x, table above), so the
 # static default is OFF — but beyond the fused encoder kernel's VMEM fit
 # boundary the jnp path materializes [B,h,T,T] scores in HBM and the
-# blockwise form can start to pay.  None = never default-on (pre-sweep
-# state); set from the measured T-sweep (examples/bench_enc_t_sweep.py).
-# Explicit MMTX_PALLAS_ATTN always beats this gate.
-FLASH_ATTN_MIN_T: int | None = None
+# blockwise form starts to pay.  Measured long-T sweep (v5e, one 6-layer
+# D=256 h=8 encoder, B=16 bf16 eval, 50/400-step weight-perturb chains,
+# examples/bench_enc_t_sweep.py, session 2026-08-20), ms/fwd:
+#
+#     T    fused    jnp    flash      winner
+#    160   0.128*  0.206*  0.569*     fused      (*B=8 run)
+#    320   0.618   0.659   2.334      fused
+#    448   0.757   1.425   3.705      fused
+#    512   0.944   3.268   2.868      fused (flash first beats jnp here)
+#    640     —     5.340   4.376      flash  (fused VMEM guard declines)
+#   1280     —    21.571  11.632      flash  (+85% over jnp)
+#
+# The fused encoder kernel wins EVERYWHERE it fits (its VMEM guard admits
+# eval through T=512 at MFT dims) and its guard already prefers it, so
+# this gate only decides the path beyond the fit boundary: flash beats
+# the jnp encoder from the first measured no-fit point (T=640) and its
+# lead grows with T.  512 is the measured flash>=jnp crossover, so any
+# future no-fit shape in [512, 640) also lands on the winning path.
+# Dropout training at long T stays jnp: flash has no attention-prob
+# dropout (gated at the call site) — measured train sweep
+# (same instrument, dropout ON, Adam step, ms/step): T=160 fused 1.183 /
+# jnp 1.148; T=256 1.620/1.501; T=320 (train-bwd guard declines ->
+# both jnp) 2.815/2.782 — at B=16 the single-encoder train kernel is
+# parity-to-slightly-behind; its measured win is the full B=32 MFT
+# recipe (9.51 vs 9.88 ms/step, table above), where the guard admits
+# tile_b>=2.  Explicit MMTX_PALLAS_ATTN always beats this gate.
+FLASH_ATTN_MIN_T: int | None = 512
 
 
 def _on_tpu() -> bool:
