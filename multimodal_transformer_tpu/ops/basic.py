@@ -157,11 +157,14 @@ def dropout(x, rng, p: float):
         cheaper to generate than threefry, whose bit-generation dominated
         the TPU train step (1.86x step A/B, examples/bench_train.py);
       - "hash4" (opt-in): FOUR keep bits per fmix32 evaluation via 8-bit
-        byte thresholds (hash4_keep_rows) — quarter the mask-generation
-        work for a documented <=1/512 absolute keep-probability
-        quantization bias; sites whose last dim is not a multiple of 4
-        degrade to the per-element "hash" stream.  A DIFFERENT mask
-        stream than "hash" (opt-in knob, like threefry);
+        byte thresholds (hash4_keep_rows) — quarter the hash rounds for
+        a documented <=1/512 absolute keep-probability quantization
+        bias; sites whose last dim is not a multiple of 4 degrade to the
+        per-element "hash" stream.  A DIFFERENT mask stream than "hash".
+        Measured verdict (round 5, ops/dispatch.py): LOSES 14.8% on the
+        full TPU train recipe — the quarter grid's narrow-lane vregs +
+        byte extract/concat cost more than the saved fmix32 rounds —
+        kept as the tested, documented negative result;
       - "threefry": jax.random.bernoulli on the passed key — the round-1
         behavior, for reproducing old training runs.
     Either way dropout is deterministic in (key, shape) and identical on

@@ -118,6 +118,23 @@ path: 1.75).  The in-kernel fmix32 generation recovers ~0.5 ms; what
 remains is dominated by the attn-prob site's bits (62% of all mask bits,
 generated in the fwd kernel and regenerated once in the bwd recompute).
 
+MMTX_DROPOUT_IMPL=hash4 verdict (round 5, v5e, ABAB same-session
+bench_train.py --mixed --chains 20 320): the multi-bit generator —
+FOUR keep bytes per fmix32 evaluation against an 8-bit threshold
+(<=1/512 keep-prob quantization bias, basic.hash4_keep_rows), mask
+generation on a 4x smaller grid in basic.dropout AND inside the fused
+encoder fwd/bwd kernels — LOSES 14.8%: hash4 10.872 / 10.885 ms/step vs
+hash 9.485 / 9.468 / 9.434.  The quarter grid's [rows, T/4=40]-lane
+vregs waste 88/128 lanes per register, and the 4-way byte
+extract+lane-concat costs more VPU work than the 4x fewer fmix32 rounds
+save — per-element masks at full lane width were already the cheap
+formulation.  This closes the LAST bounded-but-unattacked train cost
+(the 1.25 ms dropout bound above) with a measured negative: the 1.25 ms
+is the price of Bernoulli masks at these shapes, not an implementation
+gap.  hash4 stays as a tested opt-in (same CPU/TPU bits, fused-kernel
+fwd+grad parity in tests/test_pallas_kernels.py) and as the documented
+negative result.
+
 Softmax share of the kernel train step (round 4, temporary-kernel-edit
 ablation, numerics intentionally wrong/nan): replacing every softmax in
 the fused encoder train fwd+bwd with a copy measures 9.470 -> 8.733

@@ -492,13 +492,16 @@ def _hash4_sites() -> bool:
 def _keep4(seed, idx4, p: float):
     """Four keep bytes per fmix32 evaluation (basic.hash4_keep_rows block
     layout): [rows, w4] quarter indices -> [rows, 4*w4] keep mask, block
-    k = byte k of the hash, lane-concatenated."""
+    k = byte k of the hash, lane-concatenated.  The bytes are concatenated
+    BEFORE the threshold compare: Mosaic cannot lane-concat i1 vectors
+    (bitcast_vreg i1->i32 is invalid), so concat uint32 bytes, compare
+    once — same bits as basic.hash4_keep_rows."""
     from ..basic import hash4_threshold
     h = _fmix(idx4, seed)
     t8 = jnp.uint32(hash4_threshold(p))
     return jnp.concatenate(
-        [((h >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)) >= t8
-         for k in range(4)], axis=-1)
+        [(h >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+         for k in range(4)], axis=-1) >= t8
 
 
 def _row_keep(seed, tile_i, tile_b: int, T: int, T0: int, width: int,
@@ -536,12 +539,15 @@ def _attn_keep(seed, gb, h: int, T: int, T0: int, p: float,
             nh * T, Tq).astype(jnp.uint32)
         hh = _fmix(idx4, seed)
         t8 = jnp.uint32(hash4_threshold(p))
-        m = jnp.concatenate(
-            [(((hh >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)) >= t8)[:, :T0q]
+        # concat uint32 bytes, compare once (Mosaic cannot lane-concat or
+        # pad i1 vectors); pad bytes are 0 < t8 -> False keep bits on
+        # padded key columns, which the key mask zeroes anyway
+        by = jnp.concatenate(
+            [((hh >> jnp.uint32(8 * k)) & jnp.uint32(0xFF))[:, :T0q]
              for k in range(4)], axis=-1)
         if T > T0:
-            m = jnp.pad(m, ((0, 0), (0, T - T0)))
-        return m
+            by = jnp.pad(by, ((0, 0), (0, T - T0)))
+        return by >= t8
     return _keep(seed, _attn_site_idx(gb, h, T, T0, head0, nh), p)
 
 
