@@ -167,10 +167,12 @@ def measure_tpu(n_chain=(10, 40), n_slopes=3, batch=None):
     # FLOP count read off the first chained program itself: XLA's cost
     # analysis counts a While body once (not x trip count), so the chained
     # program reports the same total as one forward — verified on v5e
-    # (188 GFLOP @ B=32 both ways, = 5.88 GFLOP/seq, consistent with the
-    # analytic estimate; the per-iteration weight perturbation adds ~2 MFLOP,
-    # 0.001% noise).  Reusing the chain avoids a third ~10-40 s remote
-    # compile that round-2 previously spent on an unchained forward.
+    # round-5 session: 161.1 GFLOP @ B=32 with the fused encoder kernels
+    # ON (Mosaic CostEstimate) vs 162.8 with them OFF (XLA's own count) =
+    # 5.03/5.09 GFLOP/seq, consistent with the analytic estimate; the
+    # per-iteration weight perturbation adds ~2 MFLOP, 0.001% noise.
+    # Reusing the chain avoids a third ~10-40 s remote compile that
+    # round-2 previously spent on an unchained forward.
     flops_per_batch = None
     compiled = {}
     for n in (n1, n2):
@@ -398,6 +400,17 @@ def main():
     if mfu is not None:
         line["mfu"] = round(mfu, 4)
         line["flops_per_seq"] = round(flops_per_batch / B)
+        # executed-FLOP utilization (VERDICT r4 next #1): the fused
+        # encoder kernel's g=4 head-group p@v packing executes av_group x
+        # the counted p@v FLOPs (2*T^2*D per layer, 18 layers; the
+        # discarded off-diagonal blocks are real MXU passes) — neither
+        # XLA's count nor Mosaic's CostEstimate includes them (measured
+        # ON 5.034 vs OFF 5.089 GFLOP/seq, examples/bench_eval_ablation
+        # .py), so utilization of passes actually issued is higher than
+        # the algorithmic mfu above.
+        pv_extra = 3 * (2 * T * T * 256) * 18 * B
+        line["mfu_executed"] = round(
+            mfu * (flops_per_batch + pv_extra) / flops_per_batch, 4)
     # training-path metrics in the same line (VERDICT r3 #3) so a flat
     # round can't hide behind the eval number; production recipe (mixed +
     # default kernels, dropout ON).  MMTX_BENCH_TRAIN=0 skips (eval-only).

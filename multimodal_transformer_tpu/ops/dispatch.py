@@ -80,10 +80,38 @@ ops/pallas/encoder.py:_blockdiag_stack_tile, bit-exact vs perhead):
   on both layouts, so the -6.6% there isolates the stack builds
   themselves.)  This also
   closes the d_k=32-underfill theory for the eval plateau: ~41% of
-  counted model FLOPs is NOT score-contraction-bound (the packed p@v
-  already runs g=4x overcompute the counter ignores, so executed-FLOP
-  utilization is higher than the printed MFU; the residual gap is
-  softmax/LN VPU work and the per-video issue pattern, not MXU depth).
+  counted model FLOPs is NOT score-contraction-bound.
+
+Eval-plateau closure (round 5, examples/bench_eval_ablation.py, v5e,
+full MFT A+V+L forward B=32 T=160 bf16, default kernels, ABAB
+trace-time env flips, 50/400-step weight-perturb chains):
+  * FLOP accounting: the chained program's cost analysis reports 5.034
+    GFLOP/seq with the fused encoder kernels ON (Mosaic CostEstimate)
+    vs 5.089 with them OFF (XLA's own count of the jnp encoders) — the
+    printed MFU's numerator is COUNTED algorithmic FLOPs either way.
+    The g=4 head-group p@v packing executes 3x more than counted on the
+    p@v term (counted 0.236 GFLOP/seq across 18 layers, executed
+    +0.708), so EXECUTED-FLOP utilization = printed MFU x
+    (5.034+0.708)/5.034 = 1.141x: the 40.8%-MFU bench line is ~46.5%
+    of peak in MXU passes actually issued (bench.py now prints this as
+    mfu_executed).  Scores are not additionally overcounted (per-head
+    d_k=32 dots execute counted FLOPs — they underfill the MXU's
+    contraction depth instead, the structural cost bdq tried and
+    failed to buy back).
+  * Softmax share of the FULL eval forward: base 1.968/1.966/1.865 ms
+    vs MMTX_ENC_SOFTMAX=skip 1.761/1.770 — 0.10-0.21 ms (~5-11%;
+    adjacent-pair vs min-base bounds, tunnel drift ~5% between phases).
+    Consistent with the 3-encoder-stage bound (bench_softmax_ablation:
+    0.21 ms).
+  * LayerNorm share: MMTX_ABLATE_ENC_LN=1 (bare-affine LNs) measures
+    1.867/1.881 vs adjacent base 1.865 — ZERO within noise (<=0.02 ms):
+    the kernel's fp32 LN rides the VPU while the MXU streams the
+    adjacent dots; LN is fully overlapped on the eval path.
+  -> CLOSED: eval ~41% printed = ~46.5% executed; the named residual is
+  softmax ~0.1-0.2 ms + the d_k=32 contraction underfill on the score
+  dots (a model-shape constant) + per-video issue pattern; LN is free.
+  No remaining measured lever: bdq (score packing) loses 6.6%, row-max
+  removal measured neutral, LN costs nothing.
 
 MMTX_ENC_BWD=stack verdict (round 4, v5e, same-session 300-step chained
 A/Bs via bench_train.py --mixed): the whole-stack fused backward — ONE
